@@ -1,0 +1,130 @@
+"""Analysis chain: StandardAnalyzer-equivalent tokenization.
+
+Mirrors the semantics of
+`[U] lucene/core/src/java/org/apache/lucene/analysis/standard/
+StandardTokenizer.java` (UAX#29 word-break segmentation, JFlex grammar
+`StandardTokenizerImpl.jflex`) + `LowerCaseFilter.java`, with the
+StandardAnalyzer default stop set (EMPTY since Lucene 7.0 —
+SURVEY.md §2.2).
+
+Implemented as a single compiled regex over the UAX#29 rule subset that
+matters for this corpus (SURVEY.md §2.2 / §4.4.7):
+
+- WB5/8/9/10/13a/b: runs of letters, digits and underscore
+  (ExtendNumLet) form one token — Python's ``\\w`` covers exactly this
+  class (letters L*, digits Nd, underscore, plus Unicode alphanumerics).
+- WB6/7:  AHLetter x (MidLetter | MidNumLetQ) x AHLetter join —
+  a letter token continues across ``. ' ’ · :`` when flanked by
+  letters on both sides.
+- WB11/12: Numeric x (MidNum | MidNumLetQ) x Numeric join — a digit
+  token continues across ``. , ; ' ’`` when flanked by digits.
+- maxTokenLength=255: longer tokens are emitted as consecutive
+  255-char chunks, each with its own position (StandardTokenizer's
+  scanner-buffer split behavior; flagged "verify split-vs-drop" in
+  SURVEY.md §2.2 — split is implemented, and the choice is pinned by
+  the golden fixtures so engine == oracle either way).
+
+Lowercasing uses ``str.lower()``; the Java `Character.toLowerCase`
+divergence cases (e.g. Turkish dotted I) are pinned by tests
+(SURVEY.md §2.2).
+
+Everything here is pure Python/pandas so the Spark engine (via
+Arrow-batched pandas UDFs) and the test oracle share one tokenizer by
+construction.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import pandas as pd
+
+__all__ = [
+    "MAX_TOKEN_LENGTH",
+    "TOKEN_RE",
+    "SIMPLE_TOKEN_RE",
+    "tokenize",
+    "tokenize_series",
+    "analyze",
+]
+
+MAX_TOKEN_LENGTH = 255
+
+# letter = Unicode letter (no digits, no underscore)
+_L = r"[^\W\d_]"
+_D = r"\d"
+# MidLetter + MidNumLet + Single_Quote, flanked by letters
+_SEP_LETTER = rf"(?<={_L})[.':’·](?={_L})"
+# MidNum + MidNumLet + Single_Quote, flanked by digits
+_SEP_DIGIT = rf"(?<={_D})[.,;'’](?={_D})"
+_SEP = rf"(?:{_SEP_LETTER}|{_SEP_DIGIT})"
+
+TOKEN_RE = re.compile(rf"\w+(?:{_SEP}\w+)*", re.UNICODE)
+
+# "simple" analyzer: ASCII alnum/underscore runs on lowercased text.
+# Used by the SQL-oracle queries because DuckDB's RE2 regexes cannot
+# express the lookbehind/lookahead joins above; the engine accepts
+# analyzer="simple" so Spark and DuckDB tokenize identically.
+SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+_ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE}
+
+
+def _split_long(tok: str) -> List[str]:
+    if len(tok) <= MAX_TOKEN_LENGTH:
+        return [tok]
+    return [tok[i : i + MAX_TOKEN_LENGTH] for i in range(0, len(tok), MAX_TOKEN_LENGTH)]
+
+
+def tokenize(text: str, analyzer: str = "standard") -> List[str]:
+    """text -> lowercased token list (position = list index).
+
+    Lowercasing happens BEFORE segmentation (in Lucene the order is
+    tokenize-then-LowerCaseFilter, but for the supported separator
+    classes case pairs never change word-break class membership, so the
+    two orders agree except where ``str.lower()`` expands a codepoint —
+    e.g. Turkish İ -> 'i' + combining dot. Lowercase-first is chosen so
+    the engine's one-pass pandas kernel and this oracle-side function
+    are identical by construction; the İ case is pinned by tests).
+    """
+    if text is None:
+        return []
+    pattern = _ANALYZERS[analyzer]
+    raw = pattern.findall(text.lower())
+    out: List[str] = []
+    for t in raw:
+        if len(t) > MAX_TOKEN_LENGTH:
+            out.extend(_split_long(t))
+        else:
+            out.append(t)
+    return out
+
+
+def analyze(text: str, analyzer: str = "standard") -> List[Tuple[str, int]]:
+    """text -> [(term, position)] with 0-based positions.
+
+    Position = token index in emission order (`[U] .../tokenattributes/
+    PositionIncrementAttribute.java`: increments of 1, no stop filter in
+    the default chain so no gaps).
+    """
+    return [(t, i) for i, t in enumerate(tokenize(text, analyzer))]
+
+
+def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
+    """Vectorized (pandas-level) tokenization of a string Series.
+
+    This is the kernel the Arrow-batched UDFs call — pandas `.str`
+    fast path, no per-row Spark Python UDF (BASELINE.json:L15).
+    """
+    pattern = _ANALYZERS[analyzer]
+    lowered = texts.fillna("").str.lower()
+    toks = lowered.str.findall(pattern)
+    # long-token split is rare: only post-process rows that need it
+    needs_split = toks.map(lambda ts: any(len(t) > MAX_TOKEN_LENGTH for t in ts))
+    if needs_split.any():
+        toks = toks.copy()
+        toks[needs_split] = toks[needs_split].map(
+            lambda ts: [c for t in ts for c in _split_long(t)]
+        )
+    return toks

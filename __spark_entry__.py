@@ -1,38 +1,299 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 top-k query end-to-end (index
+build -> block-max pruned scoring -> global merge) on sf0.001.
+``queries()``/``oracle_sql()`` expose one entry per implemented
+operator from SURVEY.md §2; SQL-expressible ones carry a DuckDB oracle,
+BM25 ranking itself is rows-only here (not SQL-expressible) with the
+real rank-identity check in tests/test_build_search.py +
+tests/test_golden.py against the exhaustive oracle.
+
+Float columns in oracled queries are rounded / decimal-cast on BOTH
+sides so Spark-vs-DuckDB value hashes are stable.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators import streamexpr as sx
+from lucene_solr_spark.operators.build import build_index, read_manifest
+from lucene_solr_spark.operators.search import IndexReader
+from lucene_solr_spark.sources import load_documents, load_source_table
+
+WORK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".work")
+INDEX_FORMAT_VERSION = 2
+_INDEX_CACHE: dict[tuple, IndexReader] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str, analyzer: str = "standard") -> IndexReader:
+    key = (sf_dir, analyzer)
+    rdr = _INDEX_CACHE.get(key)
+    if rdr is not None:
+        return rdr
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(WORK_DIR, f"idx_v{INDEX_FORMAT_VERSION}_{tag}_{analyzer}")
+    if read_manifest(d) is None:
+        build_index(spark, load_source_table(spark, sf_dir), d,
+                    docs_per_seg=128, analyzer=analyzer)
+    rdr = IndexReader(spark, d)
+    _INDEX_CACHE[key] = rdr
+    return rdr
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a disjunction, stored fields fetched."""
+    idx = _index_for(spark, "/root/testdata/sf0.001")
+    top = idx.search("content:(spark OR merge OR vector)", k=10)
+    return idx.fetch(top).select("doc_id", "score", "repo", "path", "lang")
 
+
+# --------------------------------------------------------------- helpers
+
+def _docs(spark, sf):
+    return load_documents(spark, sf)
+
+
+def _t(spark, sf, name):
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+def _bm25(spark, sf, qtext, k=10):
+    idx = _index_for(spark, sf)
+    return _rank_topk(idx.search(qtext, k=k))
+
+
+def _rank_topk(top: DataFrame) -> DataFrame:
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", F.round(F.col("score").cast("double"), 4).alias("score_r")
+    )
+
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- Tier-0: BM25 top-k query path (rows-only; rank-identity is
+    # asserted against the exhaustive oracle in pytest)
+    q["bm25_term_topk"] = lambda s, sf: _bm25(s, sf, "content:spark")
+    q["bm25_disjunction_topk"] = lambda s, sf: _bm25(s, sf, "content:(spark OR merge OR vector)")
+    q["bm25_conjunction_topk"] = lambda s, sf: _bm25(s, sf, "spark AND merge AND join")
+    q["bm25_mixed_topk"] = lambda s, sf: _bm25(s, sf, "(hash OR scan) AND NOT merge")
+    q["bm25_phrase_topk"] = lambda s, sf: _bm25(s, sf, '"batch batch"')
 
+    # ---- facets (SURVEY.md §2.6)
+    q["facet_field_lang"] = lambda s, sf: sx.facet_field(_docs(s, sf), "lang")
+    q["facet_pivot_lang_source"] = lambda s, sf: sx.facet_pivot(_docs(s, sf), ["lang", "source"])
+    q["facet_range_totalprice"] = lambda s, sf: sx.facet_range(
+        _t(s, sf, "orders"), "o_totalprice", start=0.0, gap=50000.0
+    ).select("bucket", "cnt", F.round("bucket_start", 2).alias("bucket_start"))
+    q["facet_query_events"] = lambda s, sf: sx.facet_query(
+        _t(s, sf, "events"),
+        {
+            "clicks": F.col("event_type") == "click",
+            "purchases": F.col("event_type") == "purchase",
+            "big_value": F.col("value") > 50.0,
+        },
+    )
+    q["stats_quantity"] = lambda s, sf: _t(s, sf, "lineitem").agg(
+        F.min("l_quantity").alias("min_q"),
+        F.max("l_quantity").alias("max_q"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_q"),
+        F.count("l_quantity").alias("count_q"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_q"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_q"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_q"),
+    )
+
+    # ---- streaming-expression tuple ops (SURVEY.md §2.8-2.9)
+    q["rank_stream_top20"] = lambda s, sf: sx.rank_stream(
+        _t(s, sf, "lineitem"), 20,
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"),
+    ).select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    q["unique_stream_first_order"] = lambda s, sf: sx.unique_stream(
+        _t(s, sf, "orders"), ["o_custkey"], F.asc("o_orderkey")
+    ).select("o_custkey", "o_orderkey")
+    q["merge_stream_hi_lo"] = lambda s, sf: sx.merge_stream(
+        _t(s, sf, "orders").filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_custkey"),
+        _t(s, sf, "orders").filter(F.col("o_totalprice") < 1000).select("o_orderkey", "o_custkey"),
+    )
+    q["intersect_stream_cust"] = lambda s, sf: sx.intersect_stream(
+        _t(s, sf, "customer").select("c_custkey", "c_mktsegment"),
+        _t(s, sf, "orders").filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+    )
+    q["complement_stream_cust"] = lambda s, sf: sx.complement_stream(
+        _t(s, sf, "customer").select("c_custkey", "c_mktsegment"),
+        _t(s, sf, "orders").select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+    )
+    q["hash_join_orders_cust"] = lambda s, sf: sx.rollup_stream(
+        sx.hash_join_stream(
+            _t(s, sf, "orders"),
+            _t(s, sf, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            ["o_custkey"],
+        ),
+        ["c_mktsegment"],
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    q["join_scored_max"] = lambda s, sf: sx.join_scored(
+        _t(s, sf, "orders").filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey", F.col("o_totalprice").alias("score")),
+        _t(s, sf, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey", "o_custkey", "score", "max",
+    ).select("o_custkey", "c_mktsegment", F.round("join_score", 2).alias("join_score"))
+    q["rollup_having_revenue"] = lambda s, sf: sx.having_stream(
+        sx.rollup_stream(
+            _t(s, sf, "lineitem"), ["l_returnflag", "l_linestatus"],
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        F.col("n") > 100,
+    )
+    q["timeseries_events_daily"] = lambda s, sf: sx.timeseries_stream(
+        _t(s, sf, "events"), "ts", "1 day",
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+    q["significant_terms_en"] = lambda s, sf: sx.significant_terms(
+        _docs(s, sf).filter(F.col("lang") == "en"), _docs(s, sf), "source"
+    ).select("source", "fg_cnt", "bg_cnt", F.round("score", 6).alias("score_r"))
+    q["collapse_best_order"] = lambda s, sf: sx.collapse(
+        _t(s, sf, "orders"), "o_custkey", F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+    q["search_after_page"] = lambda s, sf: sx.search_after(
+        _t(s, sf, "orders"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        F.col("o_totalprice") < 300000.0,
+        10,
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice_r"))
+    q["reducer_stream_events"] = lambda s, sf: sx.reducer_stream(
+        _t(s, sf, "events").filter(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").cast("string").alias("event_id")),
+        ["user_id"], "event_id",
+    ).select("user_id", F.concat_ws(",", F.col("event_ids")).alias("event_ids"))
+
+    return q
+
+
+# ---------------------------------------------------------------- oracle
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "facet_field_lang": """
+            SELECT lang, COUNT(*) AS cnt FROM documents
+            GROUP BY lang HAVING COUNT(*) >= 1
+            ORDER BY cnt DESC, lang LIMIT 100
+        """,
+        "facet_pivot_lang_source": """
+            SELECT lang, source, COUNT(*) AS cnt FROM documents
+            GROUP BY lang, source ORDER BY cnt DESC, lang, source LIMIT 1000
+        """,
+        "facet_range_totalprice": """
+            SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                   COUNT(*) AS cnt,
+                   ROUND(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000.0, 2) AS bucket_start
+            FROM orders WHERE o_totalprice >= 0
+            GROUP BY 1 ORDER BY bucket
+        """,
+        "facet_query_events": """
+            SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+                   COUNT(CASE WHEN value > 50.0 THEN 1 END) AS big_value
+            FROM events
+        """,
+        "stats_quantity": """
+            SELECT MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+                   ROUND(SUM(l_quantity), 4) AS sum_q,
+                   COUNT(l_quantity) AS count_q,
+                   ROUND(AVG(l_quantity), 6) AS mean_q,
+                   ROUND(STDDEV_SAMP(l_quantity), 6) AS stddev_q,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_q
+            FROM lineitem
+        """,
+        "rank_stream_top20": """
+            SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+        """,
+        "unique_stream_first_order": """
+            SELECT o_custkey, MIN(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey
+        """,
+        "merge_stream_hi_lo": """
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice < 1000
+        """,
+        "intersect_stream_cust": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "complement_stream_cust": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "hash_join_orders_cust": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_scored_max": """
+            SELECT o_custkey, c_mktsegment, ROUND(join_score, 2) AS join_score
+            FROM (
+              SELECT o_custkey, MAX(o_totalprice) AS join_score
+              FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+            ) j JOIN customer ON j.o_custkey = c_custkey
+        """,
+        "rollup_having_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            HAVING COUNT(*) > 100
+        """,
+        "timeseries_events_daily": """
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket_start, COUNT(*) AS cnt,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "significant_terms_en": """
+            WITH fgc AS (SELECT source, COUNT(*) AS fg_cnt FROM documents
+                         WHERE lang = 'en' GROUP BY source),
+                 bgc AS (SELECT source, COUNT(*) AS bg_cnt FROM documents GROUP BY source),
+                 tot AS (SELECT (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS ft,
+                                (SELECT COUNT(*) FROM documents) AS bt)
+            SELECT f.source, f.fg_cnt, b.bg_cnt,
+                   ROUND((f.fg_cnt / CAST(ft AS DOUBLE)) / (b.bg_cnt / CAST(bt AS DOUBLE)), 6) AS score_r
+            FROM fgc f JOIN bgc b USING (source), tot
+            WHERE f.fg_cnt >= 1
+            ORDER BY (f.fg_cnt / CAST(ft AS DOUBLE)) / (b.bg_cnt / CAST(bt AS DOUBLE)) DESC, source
+            LIMIT 20
+        """,
+        "collapse_best_order": """
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS best_price
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "search_after_page": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice_r
+            FROM orders WHERE o_totalprice < 300000.0
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "reducer_stream_events": """
+            SELECT user_id, STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS event_ids
+            FROM events WHERE event_type = 'error' GROUP BY user_id
+        """,
+    }

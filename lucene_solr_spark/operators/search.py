@@ -1,0 +1,537 @@
+"""Top-k BM25 query execution over the parquet index.
+
+Spark shape of the reference lifecycle (SURVEY.md §3.1):
+
+1. rewrite      — plans.query.parse_query/rewrite (driver, pure Python)
+2. createWeight — one tiny Spark agg collects GLOBAL term stats
+   (docFreq summed across segments; docCount/sumTotalTermFreq from the
+   manifest), idf/weights computed driver-side exactly like
+   `[U] .../search/TermQuery.java :: createWeight` with exact global
+   stats (SURVEY.md §3.2: Solr's per-shard IDF is the approximation;
+   single-node Lucene semantics need the exact version).
+3. per-leaf scorers — ``postings.filter(term IN q).groupBy("seg")
+   .applyInPandas(kernel)``: one task per segment, numpy kernels decode
+   delta+varint blocks and score. Block-max pruning mirrors
+   `[U] .../search/WANDScorer.java` / ``MaxScoreCache.java`` /
+   ``ImpactsDISI.java``: per-term upper bounds from (max_tf, min_norm)
+   impacts, non-essential-term skipping (MaxScore), per-block pruning
+   with the shallow bound ``block_ub + sum(other seg_ubs) < theta``.
+4. collect      — per-segment top-k heap equivalent (vectorized
+   lexsort), score desc / doc_id asc tie-break.
+5. merge        — ``orderBy(score desc, doc_id asc).limit(k)`` ==
+   Spark TakeOrderedAndProject == `[U] .../search/TopDocs.java :: merge`.
+
+Scale: the postings scan is filtered by ``term IN (...)`` +
+``term_bucket IN (...)`` (parquet row-group pushdown; files are sorted
+by term at build time), so per query only the query terms' posting rows
+move. Parallelism = number of segments. Hot terms arrive as multiple
+doc-contiguous shard rows and are concatenated in the kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import K1, idf as idf_fn, norm_cache, score_tf, term_weight
+from ..functions.varint import decode_varint
+from ..plans.query import (
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    parse_query,
+    query_terms,
+)
+from .build import Manifest, _term_bucket_py, read_manifest
+
+RESULT_SCHEMA = "seg int, doc_id long, score float, seg_hits long"
+
+
+# ----------------------------------------------------------- block decode
+
+
+def _decode_docs(block) -> np.ndarray:
+    return np.cumsum(decode_varint(block["docs"]))
+
+
+def _decode_tfs(block) -> np.ndarray:
+    return decode_varint(block["tfs"])
+
+
+def _decode_norms(block) -> np.ndarray:
+    return np.frombuffer(block["norms"], dtype=np.uint8)
+
+
+def _decode_positions(block, tfs: np.ndarray) -> List[np.ndarray]:
+    """pos blob -> list of absolute position arrays, one per doc."""
+    deltas = decode_varint(block["pos"])
+    if deltas.size == 0:
+        return [np.empty(0, np.int64) for _ in tfs]
+    csum = np.cumsum(deltas)
+    bounds = np.cumsum(tfs)
+    starts = np.empty(len(tfs), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = bounds[:-1]
+    # segmented cumsum: subtract the carry before each doc's first delta
+    carry = np.zeros(len(deltas), dtype=np.int64)
+    carry_vals = np.zeros(len(tfs), dtype=np.int64)
+    carry_vals[1:] = csum[bounds[:-1] - 1]
+    carry = np.repeat(carry_vals, tfs)
+    absolute = csum - carry
+    return [absolute[s:e] for s, e in zip(starts, bounds)]
+
+
+@dataclass
+class _TermPostings:
+    """Decoded (lazily, per level) postings of one term within one segment."""
+
+    blocks: List[dict]  # raw block structs, shard-concatenated in doc order
+    max_tf: int
+    min_norm: int
+    _docs: Optional[np.ndarray] = None
+    _tfs: Optional[np.ndarray] = None
+    _norms: Optional[np.ndarray] = None
+
+    @property
+    def docs(self) -> np.ndarray:
+        if self._docs is None:
+            self._docs = (
+                np.concatenate([_decode_docs(b) for b in self.blocks])
+                if self.blocks else np.empty(0, np.int64)
+            )
+        return self._docs
+
+    def decode_scoring(self) -> None:
+        if self._tfs is None:
+            self._tfs = (
+                np.concatenate([_decode_tfs(b) for b in self.blocks])
+                if self.blocks else np.empty(0, np.int64)
+            )
+            self._norms = (
+                np.concatenate([_decode_norms(b) for b in self.blocks])
+                if self.blocks else np.empty(0, np.uint8)
+            )
+
+    @property
+    def tfs(self) -> np.ndarray:
+        self.decode_scoring()
+        return self._tfs
+
+    @property
+    def norms(self) -> np.ndarray:
+        self.decode_scoring()
+        return self._norms
+
+    def positions(self) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        for b in self.blocks:
+            out.extend(_decode_positions(b, _decode_tfs(b)))
+        return out
+
+
+def _assemble_terms(pdf: pd.DataFrame) -> Dict[str, _TermPostings]:
+    """Posting rows of one segment -> per-term block lists (shards
+    concatenated in shard order == doc order)."""
+    out: Dict[str, _TermPostings] = {}
+    pdf = pdf.sort_values(["term", "shard"], kind="mergesort")
+    for term, g in pdf.groupby("term", sort=False):
+        blocks: List[dict] = []
+        for row_blocks in g["blocks"]:
+            blocks.extend(row_blocks)
+        out[term] = _TermPostings(
+            blocks=blocks,
+            max_tf=int(g["max_tf"].max()),
+            min_norm=int(g["min_norm"].min()),
+        )
+    return out
+
+
+# ------------------------------------------------------------- the kernel
+
+
+def _lookup(docs: np.ndarray, scores: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """float32 contribution of (docs, scores) to each target doc (0 if absent)."""
+    out = np.zeros(len(targets), dtype=np.float32)
+    if len(docs) == 0 or len(targets) == 0:
+        return out
+    idx = np.searchsorted(docs, targets)
+    idx_c = np.minimum(idx, len(docs) - 1)
+    valid = (idx < len(docs)) & (docs[idx_c] == targets)
+    out[valid] = scores[idx_c[valid]]
+    return out
+
+
+class _SegmentScorer:
+    """Evaluates a Query tree against one segment's decoded postings."""
+
+    def __init__(self, terms: Dict[str, _TermPostings], weights: Dict[str, np.float32],
+                 cache: np.ndarray, doc_base: Dict[int, Tuple[int, int]], seg: int,
+                 phrase_weights: Dict[Tuple[str, ...], np.float32]):
+        self.terms = terms
+        self.weights = weights
+        self.cache = cache
+        self.seg = seg
+        self.doc_base = doc_base
+        self.phrase_weights = phrase_weights
+
+    def term_scores(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
+        tp = self.terms.get(term)
+        if tp is None or term not in self.weights:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        return tp.docs, score_tf(self.weights[term], tp.tfs, tp.norms, self.cache)
+
+    def eval(self, q: Query) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (docs sorted asc, float32 scores). Summation order matches
+        the oracle: must clauses then should clauses, in query order."""
+        if isinstance(q, TermQuery):
+            return self.term_scores(q.term)
+        if isinstance(q, MatchAllQuery):
+            base, n = self.doc_base.get(self.seg, (0, 0))
+            docs = np.arange(base, base + n, dtype=np.int64)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, PhraseQuery):
+            return self._eval_phrase(q)
+        if isinstance(q, BooleanQuery):
+            return self._eval_bool(q)
+        raise TypeError(f"unsupported query node {q!r}")
+
+    def _eval_phrase(self, q: PhraseQuery) -> Tuple[np.ndarray, np.ndarray]:
+        tps = [self.terms.get(t) for t in q.terms]
+        if any(tp is None for tp in tps):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        cand = tps[0].docs
+        for tp in tps[1:]:
+            cand = cand[np.isin(cand, tp.docs, assume_unique=True)]
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+        # two-phase (SURVEY.md §4.2 TwoPhaseIterator): positions decoded
+        # only for candidate docs
+        pos_maps = []
+        for tp in tps:
+            plist = tp.positions()
+            sel = np.searchsorted(tp.docs, cand)
+            pos_maps.append([plist[i] for i in sel])
+        freqs = np.zeros(len(cand), dtype=np.int64)
+        norms = np.zeros(len(cand), dtype=np.uint8)
+        n0 = tps[0].norms
+        sel0 = np.searchsorted(tps[0].docs, cand)
+        norms = n0[sel0]
+        for ci in range(len(cand)):
+            first = pos_maps[0][ci]
+            ok = np.ones(len(first), dtype=bool)
+            for off, pm in enumerate(pos_maps[1:], start=1):
+                ok &= np.isin(first + off, pm[ci], assume_unique=True)
+                if not ok.any():
+                    break
+            freqs[ci] = int(ok.sum())
+        hit = freqs > 0
+        w = self.phrase_weights[q.terms]
+        return cand[hit], score_tf(w, freqs[hit], norms[hit], self.cache)
+
+    def _eval_bool(self, q: BooleanQuery) -> Tuple[np.ndarray, np.ndarray]:
+        excluded = np.empty(0, np.int64)
+        for c in q.must_not:
+            d, _ = self.eval(c)
+            excluded = np.union1d(excluded, d)
+
+        must_evals = [self.eval(c) for c in q.must]
+        should_evals = [self.eval(c) for c in q.should]
+
+        if q.must:
+            allowed = must_evals[0][0]
+            for d, _ in must_evals[1:]:
+                allowed = allowed[np.isin(allowed, d, assume_unique=True)]
+        elif q.should:
+            allowed = np.empty(0, np.int64)
+            for d, _ in should_evals:
+                allowed = np.union1d(allowed, d)
+        else:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        if excluded.size:
+            allowed = allowed[~np.isin(allowed, excluded, assume_unique=True)]
+        if allowed.size == 0:
+            return allowed, np.empty(0, np.float32)
+
+        acc = np.zeros(len(allowed), dtype=np.float32)
+        for d, s in must_evals + should_evals:
+            acc += _lookup(d, s, allowed)
+        return allowed, acc
+
+
+def _top_k(docs: np.ndarray, scores: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized leaf collector: score desc, doc_id asc tie-break
+    (`[U] .../search/TopScoreDocCollector.java`, `HitQueue.java`)."""
+    if len(docs) <= k:
+        order = np.lexsort((docs, -scores))
+        return docs[order], scores[order]
+    # kth score via partial selection; ties at the kth score need
+    # doc-asc resolution, so keep ALL docs scoring >= kth then lexsort
+    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+    sel = np.flatnonzero(scores >= kth)
+    order = np.lexsort((docs[sel], -scores[sel]))[:k]
+    return docs[sel][order], scores[sel][order]
+
+
+def make_query_kernel(query: Query, weights: Dict[str, np.float32],
+                      phrase_weights: Dict[Tuple[str, ...], np.float32],
+                      cache: np.ndarray, doc_base: Dict[int, Tuple[int, int]],
+                      k: int, prune: str = "maxscore"):
+    """applyInPandas kernel over one segment's posting rows for the
+    query's terms -> per-segment top-k + exact hit count."""
+
+    is_pure_disjunction = (
+        isinstance(query, TermQuery)
+        or (isinstance(query, BooleanQuery) and not query.must and not query.must_not
+            and all(isinstance(c, TermQuery) for c in query.should))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({c: [] for c in ("seg", "doc_id", "score", "seg_hits")})
+        seg = int(pdf["seg"].iloc[0])
+        # MatchAll carrier rows (right-join) have null term columns
+        terms = _assemble_terms(pdf[pdf["term"].notna()])
+        scorer = _SegmentScorer(terms, weights, cache, doc_base, seg, phrase_weights)
+        if prune == "maxscore" and is_pure_disjunction:
+            docs, scores, n_hits = _maxscore_disjunction(query, scorer, k)
+        else:
+            docs, scores = scorer.eval(query)
+            n_hits = len(docs)
+            docs, scores = _top_k(docs, scores, k)
+        return pd.DataFrame({
+            "seg": np.full(len(docs), seg, dtype=np.int32),
+            "doc_id": docs.astype(np.int64),
+            "score": scores.astype(np.float32),
+            "seg_hits": np.full(len(docs), n_hits, dtype=np.int64),
+        })
+
+    return kernel
+
+
+def _maxscore_disjunction(query: Query, scorer: _SegmentScorer, k: int):
+    """Vectorized block-max MaxScore/WAND over a pure term disjunction.
+
+    Exactness argument (tested against the exhaustive path): theta is a
+    LOWER bound of the final kth score (it is the kth best single-term
+    contribution of one term). A term set NE with sum(ub) < theta
+    (strict) cannot by itself produce a competitive doc; a block b of an
+    essential term with ``ub_b + sum(seg_ub of other terms) < theta``
+    cannot either, even jointly with other pruned blocks, since any doc
+    in b scores <= ub_b + sum(other seg_ubs). Candidates therefore come
+    only from surviving blocks of essential terms; their scores are then
+    computed EXACTLY (all terms contribute), so ranking is identical to
+    the exhaustive scorer.
+    """
+    qterms = [query.term] if isinstance(query, TermQuery) else [c.term for c in query.should]
+    qterms = [t for t in dict.fromkeys(qterms)]
+    present = [t for t in qterms if t in scorer.terms and t in scorer.weights]
+    if not present:
+        return np.empty(0, np.int64), np.empty(0, np.float32), 0
+
+    # segment-level upper bounds from stored impacts
+    ubs = {}
+    for t in present:
+        tp = scorer.terms[t]
+        w = scorer.weights[t]
+        c_min = scorer.cache[tp.min_norm]
+        tf = np.float32(tp.max_tf)
+        ubs[t] = float((np.float32(w) * tf) / (tf + c_min))
+
+    # theta: kth best single-term contribution of the strongest term
+    t_best = max(present, key=lambda t: ubs[t])
+    d0, s0 = scorer.term_scores(t_best)
+    theta = float(np.partition(s0, len(s0) - k)[len(s0) - k]) if len(s0) >= k else 0.0
+
+    order_desc = sorted(present, key=lambda t: -ubs[t])
+    essential: List[str] = []
+    tail = 0.0
+    for t in reversed(order_desc):  # ascending ub
+        if tail + ubs[t] < theta and t != t_best:
+            tail += ubs[t]
+        else:
+            essential.append(t)
+    non_essential = [t for t in present if t not in essential]
+
+    # candidates: docs from surviving blocks of essential terms
+    cand_parts = []
+    for t in essential:
+        tp = scorer.terms[t]
+        other = sum(ubs[o] for o in present if o != t)
+        w = scorer.weights[t]
+        keep_blocks = []
+        for b in tp.blocks:
+            tf = np.float32(b["max_tf"])
+            block_ub = float((np.float32(w) * tf) / (tf + scorer.cache[b["min_norm"]]))
+            if block_ub + other >= theta:
+                keep_blocks.append(b)
+        if keep_blocks:
+            cand_parts.append(np.concatenate([_decode_docs(b) for b in keep_blocks]))
+    if cand_parts:
+        cand = np.unique(np.concatenate(cand_parts))
+    else:
+        cand = np.empty(0, np.int64)
+
+    # exact scores for candidates, accumulated in ORIGINAL query-term
+    # order so float32 summation matches the exhaustive path/oracle
+    acc = np.zeros(len(cand), dtype=np.float32)
+    for t in qterms:
+        if t not in scorer.terms or t not in scorer.weights:
+            continue
+        d, s = scorer.term_scores(t)
+        acc += _lookup(d, s, cand)
+
+    # exact hit count: union over ALL terms' doc lists (docs decode only)
+    all_docs = [scorer.terms[t].docs for t in present]
+    n_hits = len(np.unique(np.concatenate(all_docs))) if all_docs else 0
+
+    docs, scores = _top_k(cand, acc, k)
+    return docs, scores, n_hits
+
+
+# ------------------------------------------------------------- the reader
+
+
+class IndexReader:
+    """Open a committed index; run queries (SURVEY.md §3.1 shape)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest under {index_dir}")
+        self.manifest: Manifest = m
+        live = m.seg_ids
+        self.postings = spark.read.parquet(f"{index_dir}/postings").filter(
+            F.col("seg").isin(live)
+        )
+        self.docmeta = spark.read.parquet(f"{index_dir}/docmeta").filter(
+            F.col("seg").isin(live)
+        )
+        self.doc_count = m.doc_count
+        self.sum_dl = m.sum_dl
+        self.avgdl = self.sum_dl / self.doc_count if self.doc_count else 0.0
+        self.cache = norm_cache(self.avgdl)
+
+    # -- stats (the createWeight global-stats job)
+    def global_dfs(self, terms: Iterable[str]) -> Dict[str, int]:
+        terms = list(dict.fromkeys(terms))
+        if not terms:
+            return {}
+        rows = (
+            self._filtered_postings(terms)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _filtered_postings(self, terms: List[str]) -> DataFrame:
+        buckets = sorted({_term_bucket_py(t) for t in terms})
+        return self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _weights(self, q: Query, classic_k1p1: bool = False):
+        terms = [t for _, t in query_terms(q)]
+        dfs = self.global_dfs(terms)
+        weights = {
+            t: term_weight(dfs[t], self.doc_count, 1.0, classic_k1p1)
+            for t in terms if t in dfs
+        }
+        phrase_weights: Dict[Tuple[str, ...], np.float32] = {}
+
+        def walk(node: Query):
+            if isinstance(node, PhraseQuery):
+                w = node.boost * sum(
+                    idf_fn(dfs.get(t, 0), self.doc_count) for t in node.terms
+                )
+                if classic_k1p1:
+                    w *= K1 + 1.0
+                phrase_weights[node.terms] = np.float32(w)
+            elif isinstance(node, BooleanQuery):
+                for c in node.should + node.must + node.must_not:
+                    walk(c)
+
+        walk(q)
+        return weights, phrase_weights
+
+    # -- search
+    def search(self, query: str | Query, k: int = 10, prune: str = "maxscore",
+               analyzer: Optional[str] = None) -> DataFrame:
+        """-> DataFrame(doc_id long, score float), globally ranked top-k.
+
+        Two-phase: per-segment top-k in the kernel, global merge via
+        orderBy(score desc, doc_id asc).limit(k) (TakeOrderedAndProject).
+        """
+        q = parse_query(query, analyzer=analyzer or self.manifest.analyzer) \
+            if isinstance(query, str) else query
+        per_seg = self._per_segment(q, k, prune)
+        return (
+            per_seg.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def search_with_total(self, query: str | Query, k: int = 10,
+                          prune: str = "maxscore") -> Tuple[List[Tuple[int, float]], int]:
+        """TopDocs equivalent: ([(doc_id, score)], exact total_hits)."""
+        q = parse_query(query, analyzer=self.manifest.analyzer) if isinstance(query, str) else query
+        per_seg = self._per_segment(q, k, prune).cache()
+        try:
+            top = (
+                per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                .select("doc_id", "score").collect()
+            )
+            hits_row = (
+                per_seg.select("seg", "seg_hits").groupBy("seg")
+                .agg(F.first("seg_hits").alias("h"))
+                .agg(F.sum("h").alias("total")).collect()
+            )
+            total = int(hits_row[0]["total"] or 0)
+            return [(int(r["doc_id"]), float(r["score"])) for r in top], total
+        finally:
+            per_seg.unpersist()
+
+    def _per_segment(self, q: Query, k: int, prune: str) -> DataFrame:
+        terms = [t for _, t in query_terms(q)]
+        weights, phrase_weights = self._weights(q)
+        kernel = make_query_kernel(
+            q, weights, phrase_weights, self.cache, self.manifest.doc_base(), k, prune
+        )
+        has_matchall = _contains_matchall(q)
+        if terms:
+            src = self._filtered_postings(terms)
+        else:
+            src = self.postings.filter(F.lit(False))
+        if has_matchall:
+            # MatchAll needs every segment represented even when no term
+            # posting rows exist in it: union empty carrier rows per seg
+            carrier = self.spark.createDataFrame(
+                [(s,) for s in self.manifest.seg_ids], "seg int"
+            )
+            src = src.join(carrier, "seg", "right")
+        return src.groupBy("seg").applyInPandas(kernel, schema=RESULT_SCHEMA)
+
+    def count(self, query: str | Query) -> int:
+        _, total = self.search_with_total(query, k=1)
+        return total
+
+    # -- fetch stored fields (`[U] .../index/CodecReader.java :: document()`)
+    def fetch(self, topk: DataFrame) -> DataFrame:
+        return topk.join(self.docmeta.drop("seg"), "doc_id", "left")
+
+
+def _contains_matchall(q: Query) -> bool:
+    if isinstance(q, MatchAllQuery):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(_contains_matchall(c) for c in q.should + q.must + q.must_not)
+    return False

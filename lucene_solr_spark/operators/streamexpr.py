@@ -1,0 +1,271 @@
+"""Solr streaming-expression & facet operator equivalents (SURVEY.md §2.6-2.9).
+
+The reference implements these as sorted-tuple-stream decorators over
+the index (`[U] solr/solrj/src/java/org/apache/solr/client/solrj/io/
+stream/*.java`) with a `parallel` shuffle operator; in Spark each is a
+thin declarative combinator — Catalyst supplies the shuffle, the
+partial+final hash aggregation (Solr's per-shard facet + refinement),
+and the join strategy selection (Solr's explicit hashJoin vs innerJoin
+choice becomes broadcast-vs-sort-merge, chosen by size or forced with
+a hint).
+
+Each function documents the reference operator it mirrors; everything
+stays JVM-side (no Python UDFs) so the whole layer rides whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "select_stream", "sort_stream", "rank_stream", "unique_stream",
+    "merge_stream", "intersect_stream", "complement_stream",
+    "inner_join_stream", "left_outer_join_stream", "hash_join_stream",
+    "cross_product_stream", "rollup_stream", "having_stream",
+    "reducer_stream", "facet_field", "facet_range", "facet_query",
+    "facet_pivot", "stats_component", "timeseries_stream",
+    "significant_terms", "collapse", "search_after", "export_sorted",
+    "join_scored",
+]
+
+
+# ------------------------------------------------------------ tuple streams
+
+
+def select_stream(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """`[U] .../io/stream/SelectStream.java` — project/rename/compute."""
+    return df.select(*cols)
+
+
+def sort_stream(df: DataFrame, *order: Column) -> DataFrame:
+    """`[U] .../io/stream/SortStream.java` — full re-sort."""
+    return df.orderBy(*order)
+
+
+def rank_stream(df: DataFrame, n: int, *order: Column) -> DataFrame:
+    """`[U] .../io/stream/RankStream.java` — top-n by sort order
+    (executes as TakeOrderedAndProject: per-partition heap + merge,
+    the same two-phase shape as the reference's priority queue)."""
+    return df.orderBy(*order).limit(n)
+
+
+def unique_stream(df: DataFrame, keys: Sequence[str], *tiebreak: Column) -> DataFrame:
+    """`[U] .../io/stream/UniqueStream.java` — first tuple per key over
+    a sorted stream. Deterministic version: explicit tie-break order
+    via row_number (dropDuplicates is order-dependent)."""
+    w = Window.partitionBy(*keys).orderBy(*tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_stream(a: DataFrame, b: DataFrame, *order: Column) -> DataFrame:
+    """`[U] .../io/stream/MergeStream.java` — sorted union of streams."""
+    out = a.unionByName(b)
+    return out.orderBy(*order) if order else out
+
+
+def intersect_stream(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """`[U] .../io/stream/IntersectStream.java` — tuples of A whose key
+    appears in B (left semi)."""
+    return a.join(b.select(*on).distinct(), list(on), "left_semi")
+
+
+def complement_stream(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """`[U] .../io/stream/ComplementStream.java` — tuples of A whose key
+    does NOT appear in B (left anti)."""
+    return a.join(b.select(*on).distinct(), list(on), "left_anti")
+
+
+def inner_join_stream(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """`[U] .../io/stream/InnerJoinStream.java` — merge equi-join of two
+    streams sorted on the key; Catalyst picks sort-merge itself."""
+    return a.join(b, list(on), "inner")
+
+
+def left_outer_join_stream(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """`[U] .../io/stream/LeftOuterJoinStream.java`."""
+    return a.join(b, list(on), "left")
+
+
+def hash_join_stream(a: DataFrame, small: DataFrame, on: Sequence[str],
+                     how: str = "inner") -> DataFrame:
+    """`[U] .../io/stream/HashJoinStream.java` — small side hashed in
+    memory == Spark broadcast hash join, forced with the hint."""
+    return a.join(F.broadcast(small), list(on), how)
+
+
+def cross_product_stream(a: DataFrame, b: DataFrame) -> DataFrame:
+    """`[U] .../io/stream/CartesianProductStream.java` (⚠ name per
+    SURVEY.md §2.7)."""
+    return a.crossJoin(b)
+
+
+def rollup_stream(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """`[U] .../io/stream/RollupStream.java` — group-by aggregates over
+    the stream. Spark's partial+final HashAggregate replaces the
+    sorted-stream requirement."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def having_stream(df: DataFrame, cond: Column) -> DataFrame:
+    """`[U] .../io/stream/HavingStream.java` — post-aggregation filter."""
+    return df.filter(cond)
+
+
+def reducer_stream(df: DataFrame, keys: Sequence[str], value: str,
+                   *order_within: Column) -> DataFrame:
+    """`[U] .../io/stream/ReducerStream.java` — group rows into one
+    tuple per key (collect values, deterministically ordered)."""
+    return df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(value)).alias(f"{value}s")
+    )
+
+
+# ----------------------------------------------------------------- facets
+
+
+def facet_field(df: DataFrame, fld: str, limit: int = 100, mincount: int = 1,
+                offset: int = 0) -> DataFrame:
+    """`[U] solr/core/.../request/SimpleFacets.java` + `.../search/facet/
+    FacetField.java` — term facet: counts desc, index-order tiebreak,
+    limit/offset/mincount. Exact by construction (Spark's shuffle
+    groupBy), so the reference's distributed refinement pass
+    (`FacetComponent :: refine`) has no equivalent here — SURVEY §2.6."""
+    out = (
+        df.groupBy(fld).agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= mincount)
+        .orderBy(F.desc("cnt"), F.asc(fld))
+    )
+    if offset:
+        w = Window.orderBy(F.desc("cnt"), F.asc(fld))
+        out = (out.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") > offset).drop("__rn"))
+    return out.limit(limit)
+
+
+def facet_range(df: DataFrame, fld: str, start: float, gap: float,
+                end: Optional[float] = None) -> DataFrame:
+    """`[U] .../search/facet/FacetRange.java` — numeric buckets of width
+    ``gap`` from ``start``."""
+    b = F.floor((F.col(fld) - F.lit(start)) / F.lit(gap)).cast("long")
+    out = df
+    if end is not None:
+        out = out.filter((F.col(fld) >= start) & (F.col(fld) < end))
+    return (
+        out.filter(F.col(fld) >= start)
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket_start", (F.col("bucket") * gap + start))
+        .orderBy("bucket")
+    )
+
+
+def facet_query(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
+    """`[U] .../search/facet/FacetQuery.java` — one count per named
+    predicate, single pass."""
+    return df.agg(*[
+        F.count(F.when(c, F.lit(1))).alias(name) for name, c in conds.items()
+    ])
+
+
+def facet_pivot(df: DataFrame, fields: Sequence[str], limit: int = 1000) -> DataFrame:
+    """`[U] .../search/facet/FacetField.java` sub-facets / pivot —
+    nested term counts == multi-column groupBy."""
+    return (
+        df.groupBy(*fields).agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), *[F.asc(f) for f in fields])
+        .limit(limit)
+    )
+
+
+def stats_component(df: DataFrame, fld: str) -> DataFrame:
+    """`[U] solr/core/.../handler/component/StatsComponent.java` — the
+    min/max/sum/count/mean/stddev/missing bundle in one agg."""
+    c = F.col(fld)
+    return df.agg(
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.count(c).alias("count"),
+        F.count(F.when(c.isNull(), F.lit(1))).alias("missing"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+    )
+
+
+def timeseries_stream(df: DataFrame, ts: str, gap: str, *aggs: Column) -> DataFrame:
+    """`[U] .../io/stream/TimeSeriesStream.java` — date-range bucketed
+    aggregates; Spark window() handles the bucketing natively."""
+    out = df.groupBy(F.window(F.col(ts), gap).alias("w")).agg(*aggs)
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(F.col("w.start").alias("bucket_start"), *rest).orderBy("bucket_start")
+
+
+def significant_terms(fg: DataFrame, bg: DataFrame, fld: str,
+                      min_doc_freq: int = 1, limit: int = 20) -> DataFrame:
+    """`[U] solr/solrj/.../io/stream/SignificantTermsStream.java` —
+    foreground-vs-background term relevance: score = fg_ratio/bg_ratio."""
+    fgc = fg.groupBy(fld).agg(F.count(F.lit(1)).alias("fg_cnt"))
+    bgc = bg.groupBy(fld).agg(F.count(F.lit(1)).alias("bg_cnt"))
+    fg_total = fg.count()
+    bg_total = bg.count()
+    return (
+        fgc.join(bgc, fld)
+        .filter(F.col("fg_cnt") >= min_doc_freq)
+        .withColumn(
+            "score",
+            (F.col("fg_cnt") / F.lit(float(fg_total)))
+            / (F.col("bg_cnt") / F.lit(float(bg_total))),
+        )
+        .orderBy(F.desc("score"), F.asc(fld))
+        .limit(limit)
+    )
+
+
+# ----------------------------------------------------- collectors / paging
+
+
+def collapse(df: DataFrame, key: str, *order: Column) -> DataFrame:
+    """`[U] solr/core/.../search/CollapsingQParserPlugin.java` — best
+    row per group key (field-collapsed top-k)."""
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def search_after(df: DataFrame, order: List[Column], cursor_filter: Column,
+                 k: int) -> DataFrame:
+    """`[U] .../search/IndexSearcher.java :: searchAfter` — deep paging:
+    filter strictly past the cursor, then top-k."""
+    return df.filter(cursor_filter).orderBy(*order).limit(k)
+
+
+def export_sorted(df: DataFrame, *order: Column) -> DataFrame:
+    """`[U] solr/core/.../handler/export/ExportWriter.java` — full
+    sorted export of the result set (docvalues streaming sort)."""
+    return df.orderBy(*order)
+
+
+def join_scored(matched: DataFrame, to: DataFrame, from_key: str, to_key: str,
+                score_col: str = "score", mode: str = "max") -> DataFrame:
+    """`[U] lucene/join/.../JoinUtil.java` score modes: aggregate the
+    matched docs' scores per join key (max/sum/avg/none), then semi-join
+    into the `to` side carrying the aggregated score."""
+    agg = {"max": F.max, "sum": F.sum, "avg": F.avg}.get(mode)
+    if agg is None:  # none
+        keys = matched.select(F.col(from_key).alias(to_key)).distinct()
+        return to.join(keys, to_key, "left_semi")
+    scored = matched.groupBy(F.col(from_key).alias(to_key)).agg(
+        agg(score_col).alias("join_score")
+    )
+    return to.join(scored, to_key, "inner")

@@ -1,0 +1,291 @@
+"""Query model, classic-syntax parser and rewrite rules.
+
+Driver-side only (pure Python, never in the data plane — SURVEY.md §2.4
+"Query parsing (classic)"). Mirrors the semantics of:
+
+- `[U] lucene/queryparser/.../classic/QueryParser.jj` — the
+  ``field:term``/``AND``/``OR``/``NOT``/``"phrase"``/parens subset,
+  default operator OR (bare terms become SHOULD clauses);
+- `[U] lucene/core/.../search/BooleanQuery.java :: rewrite` — the
+  simplification pass (single-SHOULD unwrap, nested flatten, clause
+  dedup);
+- `[U] lucene/core/.../search/PhraseQuery.java` — phrase weight uses
+  the SUM of constituent term idfs and the phrase occurrence count as
+  tf.
+
+Scoring semantics encoded here and honored by both the Spark engine
+and the test oracle:
+
+- SHOULD: union; matching clause scores SUM (DisjunctionSumScorer).
+- MUST: intersection; scores sum. MUST + SHOULD: SHOULD adds optional
+  score to docs that satisfy all MUSTs.
+- MUST_NOT: excluded, contributes no score
+  (`[U] .../search/ReqExclScorer.java`).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Tuple, Union
+
+from ..analysis import tokenize
+
+__all__ = [
+    "Query",
+    "TermQuery",
+    "PhraseQuery",
+    "BooleanQuery",
+    "MatchAllQuery",
+    "parse_query",
+    "rewrite",
+    "query_terms",
+]
+
+DEFAULT_FIELD = "content"
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    terms: Tuple[str, ...]
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    should: Tuple["Query", ...] = field(default=())
+    must: Tuple["Query", ...] = field(default=())
+    must_not: Tuple["Query", ...] = field(default=())
+
+
+Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery]
+
+
+# ---------------------------------------------------------------- parser
+
+_TOKEN_SPEC = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b|-) |
+        (?P<phrase>"[^"]*") |
+        (?P<fieldname>[A-Za-z_][A-Za-z0-9_]*(?=:)) | (?P<colon>:) |
+        (?P<word>[^\s()":]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.tokens: List[Tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_SPEC.match(text, pos)
+            if not m or m.end() == pos:
+                if text[pos:].strip():
+                    raise ValueError(f"cannot lex query at: {text[pos:]!r}")
+                break
+            pos = m.end()
+            kind = m.lastgroup
+            self.tokens.append((kind, m.group(kind)))
+        self.i = 0
+
+    def peek(self):
+        return self.tokens[self.i] if self.i < len(self.tokens) else (None, None)
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+
+class _Parser:
+    """Recursive descent for the classic subset. Precedence: NOT > AND > OR."""
+
+    def __init__(self, text: str, default_field: str, analyzer: str):
+        self.lex = _Lexer(text)
+        self.default_field = default_field
+        self.analyzer = analyzer
+
+    def parse(self) -> Query:
+        q = self._or_expr(self.default_field)
+        if self.lex.peek()[0] is not None:
+            raise ValueError(f"unexpected token {self.lex.peek()!r}")
+        return q
+
+    def _or_expr(self, fld: str) -> Query:
+        clauses = [self._and_expr(fld)]
+        explicit_or = False
+        while True:
+            kind, _ = self.lex.peek()
+            if kind == "or":
+                self.lex.next()
+                explicit_or = True
+                clauses.append(self._and_expr(fld))
+            elif kind in ("lparen", "phrase", "fieldname", "word", "not"):
+                # implicit operator: default OR (classic QueryParser default)
+                clauses.append(self._and_expr(fld))
+            else:
+                break
+        if len(clauses) == 1 and not explicit_or:
+            return clauses[0]
+        should, must_not = [], []
+        for c in clauses:
+            if isinstance(c, _Neg):
+                must_not.append(c.query)
+            else:
+                should.append(c)
+        return BooleanQuery(should=tuple(should), must_not=tuple(must_not))
+
+    def _and_expr(self, fld: str) -> Query:
+        clauses = [self._not_expr(fld)]
+        while self.lex.peek()[0] == "and":
+            self.lex.next()
+            clauses.append(self._not_expr(fld))
+        if len(clauses) == 1:
+            return clauses[0]
+        must, must_not = [], []
+        for c in clauses:
+            if isinstance(c, _Neg):
+                must_not.append(c.query)
+            else:
+                must.append(c)
+        return BooleanQuery(must=tuple(must), must_not=tuple(must_not))
+
+    def _not_expr(self, fld: str):
+        if self.lex.peek()[0] == "not":
+            self.lex.next()
+            inner = self._not_expr(fld)
+            if isinstance(inner, _Neg):  # double negation
+                return inner.query
+            return _Neg(inner)
+        return self._atom(fld)
+
+    def _atom(self, fld: str):
+        kind, val = self.lex.next()
+        if kind == "lparen":
+            q = self._or_expr(fld)
+            if self.lex.next()[0] != "rparen":
+                raise ValueError("unbalanced parenthesis")
+            return q
+        if kind == "fieldname":
+            colon = self.lex.next()
+            assert colon[0] == "colon"
+            return self._atom(val)
+        if kind == "phrase":
+            terms = tuple(tokenize(val.strip('"'), self.analyzer))
+            if not terms:
+                return MatchAllQuery()
+            if len(terms) == 1:
+                return TermQuery(terms[0], fld)
+            return PhraseQuery(terms, fld)
+        if kind == "word":
+            if val == "*" or val == "*:*":
+                return MatchAllQuery()
+            toks = tokenize(val, self.analyzer)
+            if not toks:
+                return MatchAllQuery()  # analyzes to nothing -> matches nothing scored; rewrite below
+            if len(toks) == 1:
+                return TermQuery(toks[0], fld)
+            # a single word that analyzes to multiple tokens (e.g. "3.14x")
+            # becomes a SHOULD group, like the classic parser's behavior
+            return BooleanQuery(should=tuple(TermQuery(t, fld) for t in toks))
+        raise ValueError(f"unexpected token ({kind}, {val!r})")
+
+
+@dataclass(frozen=True)
+class _Neg:
+    """Parse-time marker for NOT; resolved into must_not by the parent."""
+
+    query: Query
+
+
+def parse_query(text: str, default_field: str = DEFAULT_FIELD, analyzer: str = "standard") -> Query:
+    q = _Parser(text, default_field, analyzer).parse()
+    if isinstance(q, _Neg):
+        # pure negation: NOT x == MatchAll minus x
+        q = BooleanQuery(must=(MatchAllQuery(),), must_not=(q.query,))
+    return rewrite(q)
+
+
+# ---------------------------------------------------------------- rewrite
+
+
+def rewrite(q: Query) -> Query:
+    """BooleanQuery simplification pass (single-clause unwrap, flatten,
+    dedup) mirroring `[U] .../search/BooleanQuery.java :: rewrite`."""
+    if not isinstance(q, BooleanQuery):
+        return q
+    should = [rewrite(c) for c in q.should]
+    must = [rewrite(c) for c in q.must]
+    must_not = [rewrite(c) for c in q.must_not]
+
+    # flatten nested pure-SHOULD into SHOULD, pure-MUST into MUST
+    flat_should: List[Query] = []
+    for c in should:
+        if isinstance(c, BooleanQuery) and not c.must and not c.must_not:
+            flat_should.extend(c.should)
+        else:
+            flat_should.append(c)
+    flat_must: List[Query] = []
+    for c in must:
+        if isinstance(c, BooleanQuery) and not c.should and not c.must_not:
+            flat_must.extend(c.must)
+        else:
+            flat_must.append(c)
+
+    # dedup, preserving first-occurrence order (scoring order!)
+    def _dedup(cs: List[Query]) -> Tuple[Query, ...]:
+        seen, out = set(), []
+        for c in cs:
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+        return tuple(out)
+
+    should_t, must_t, must_not_t = _dedup(flat_should), _dedup(flat_must), _dedup(must_not)
+
+    # single-clause unwrap
+    if len(should_t) == 1 and not must_t and not must_not_t:
+        return should_t[0]
+    if len(must_t) == 1 and not should_t and not must_not_t:
+        return must_t[0]
+    return BooleanQuery(should=should_t, must=must_t, must_not=must_not_t)
+
+
+def query_terms(q: Query) -> List[Tuple[str, str]]:
+    """All (field, term) pairs referenced by a query, in stable
+    first-appearance order (this order defines float32 summation order
+    in both engine and oracle)."""
+    out: List[Tuple[str, str]] = []
+
+    def walk(node: Query):
+        if isinstance(node, TermQuery):
+            out.append((node.field, node.term))
+        elif isinstance(node, PhraseQuery):
+            out.extend((node.field, t) for t in node.terms)
+        elif isinstance(node, BooleanQuery):
+            for c in node.should + node.must + node.must_not:
+                walk(c)
+
+    walk(q)
+    seen, uniq = set(), []
+    for ft in out:
+        if ft not in seen:
+            seen.add(ft)
+            uniq.append(ft)
+    return uniq

@@ -1,0 +1,156 @@
+"""Sources: the repo-file corpus seam + deterministic synthetic generator.
+
+The authoritative input shape (BASELINE.json input_hint) is an Iceberg
+table ``(repo, path, commit, lang, content)``. No Iceberg runtime jar
+exists in this sandbox (SURVEY.md §2.1), so everything goes through
+``load_source_table()`` which accepts any parquet/DataFrame of that
+schema — swapping in ``spark.read.format("iceberg")`` is a one-line
+change at this seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["load_documents", "load_source_table", "synth_repo_files", "SOURCE_SCHEMA"]
+
+SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_source_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically map the driver's ``documents`` table onto the
+    input_hint shape (repo, path, commit, lang, content) + stable doc_id.
+
+    The documents table already carries a dense ``doc_id`` — it is kept
+    as the engine's global docID (SURVEY.md §1.1 requires deterministic
+    assignment; a pre-assigned key is the strongest form).
+    """
+    d = load_documents(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha1(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+# ------------------------------------------------------- synthetic corpus
+
+_EXTS = [("py", "python"), ("java", "java"), ("scala", "scala"), ("md", "markdown"), ("txt", "text")]
+
+# Unicode spice rows pin StandardAnalyzer edge semantics (FIXTURES.md §1,
+# SURVEY.md §4.4.7): accents, CJK, Turkish dotted I, emoji, >255-char token.
+_SPICE = [
+    "Motörhead café naïve façade – déjà vu",
+    "日本語のテキスト と source code の mix",
+    "İstanbul ların ISPARTA kişi",
+    "emoji 🚀 rocket_launch 🎉 done",
+    "longtoken_" + "x" * 300 + " end",
+    "o'neil can’t v1.2.3 3.14 1,000 foo.bar",
+]
+
+
+def _vocab(size: int = 5000) -> np.ndarray:
+    kws = ["def", "class", "return", "import", "public", "static", "void", "val",
+           "var", "for", "while", "if", "else", "try", "catch", "lambda", "spark",
+           "index", "merge", "query", "token", "score", "segment", "posting"]
+    idents = [f"ident_{i:04d}" for i in range(size - len(kws))]
+    return np.array(kws + idents, dtype=object)
+
+
+def _zipf_weights(n: int, s: float = 1.2) -> np.ndarray:
+    w = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** s
+    return w / w.sum()
+
+
+def synth_repo_files(spark: SparkSession, n_rows: int, seed: int = 42,
+                     num_partitions: int | None = None) -> DataFrame:
+    """FIXTURES.md §1 generator: seeded-PRNG token stream over a
+    Zipf(1.2) vocabulary, deterministic per row id (safe to regenerate
+    in any partitioning — each row's content depends only on (seed, i)).
+
+    Vectorized: numpy PRNG per Arrow batch, no per-row Python UDF.
+    """
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, 1, P)
+    vocab = _vocab()
+    weights = _zipf_weights(len(vocab))
+    punct = np.array([" ", " ", " ", "\n", "(", ")", ";", " = ", " + ", "."], dtype=object)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                rng = np.random.default_rng(seed * 1_000_003 + int(i))
+                n_tok = int(rng.integers(20, 401))
+                toks = rng.choice(vocab, size=n_tok, p=weights)
+                seps = rng.choice(punct, size=n_tok)
+                content = "".join(t + s for t, s in zip(toks, seps))
+                if i % 37 == 0:
+                    content += " " + _SPICE[int(i) % len(_SPICE)]
+                repo = f"org{i % 7}/repo{i % 97}"
+                ext, lang = _EXTS[int(i) % len(_EXTS)]
+                path = f"src/d{int(i) // 100}/f{int(i)}.{ext}"
+                commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+                rows.append((repo, path, commit, lang, content))
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return base.mapInPandas(gen, schema=SOURCE_SCHEMA)
+
+
+def assign_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit"),
+                   num_partitions: int | None = None) -> DataFrame:
+    """Deterministic dense global doc_id = rank over ``order_cols``.
+
+    Scalable two-pass zipWithIndex shape (SURVEY.md §1.1 — NOT
+    ``monotonically_increasing_id``, which is partitioning-dependent):
+    range-partition + sort by the key, count rows per partition, then
+    offset each partition's local row number. Global order is the total
+    sort order regardless of where range boundaries fall, so the ids
+    are deterministic for a given input.
+    """
+    spark = df.sparkSession
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    cols = list(order_cols)
+    ranged = df.repartitionByRange(P, *cols).sortWithinPartitions(*cols)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).cache()
+    counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+                           if f.name != "_pid") + ", doc_id long"
+
+    def number(batches):
+        local = -1
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+                local = offsets[pid]
+            n = len(pdf)
+            ids = np.arange(local, local + n, dtype=np.int64)
+            local += n
+            out = pdf.drop(columns=["_pid"])
+            out["doc_id"] = ids
+            yield out
+
+    result = ranged.mapInPandas(number, schema=out_schema)
+    return result

@@ -1,0 +1,168 @@
+"""Pure-Python exhaustive Lucene-semantics oracle (SURVEY.md §5.2.1).
+
+Stand-in for "Lucene's TopDocs" while the reference mount is empty
+(SURVEY.md §0): an unpartitioned, unpruned, loop-based evaluation of
+the same documented semantics — BM25 float32 path with SmallFloat lossy
+norms, DisjunctionSumScorer clause summation order, PhraseQuery
+summed-idf weighting and exact-adjacency matching, score-desc/doc-asc
+tie-break (`[U] .../search/TopScoreDocCollector.java`, `HitQueue.java`).
+
+The Spark engine (partitioned, salted, WAND-pruned, two-phase merged)
+must reproduce this rank-identically; tests in tests/test_golden.py do
+exactly that. The tokenizer and the float kernels are deliberately
+shared with the engine (one implementation of the *semantics*), so the
+golden tests isolate the *distributed machinery* as the thing under
+test. Swap this module for real Lucene TopDocs if the reference mount
+ever appears.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from lucene_solr_spark.analysis import tokenize
+from lucene_solr_spark.functions.bm25 import (
+    BM25Stats,
+    norm_cache,
+    term_weight,
+)
+from lucene_solr_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_solr_spark.plans.query import (
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    parse_query,
+)
+
+
+@dataclass(frozen=True)
+class TopDocs:
+    total_hits: int
+    score_docs: Tuple[Tuple[int, float], ...]  # (doc_id, float32 score), ranked
+
+
+class OracleIndex:
+    def __init__(self, docs: Sequence[Tuple[int, str]], analyzer: str = "standard",
+                 classic_k1p1: bool = False):
+        self.analyzer = analyzer
+        self.classic_k1p1 = classic_k1p1
+        self.postings: Dict[str, Dict[int, int]] = {}
+        self.positions: Dict[str, Dict[int, List[int]]] = {}
+        self.norm_bytes: Dict[int, int] = {}
+        self.doc_ids: List[int] = []
+        sum_dl = 0
+        for doc_id, text in docs:
+            toks = tokenize(text, analyzer)
+            self.doc_ids.append(doc_id)
+            self.norm_bytes[doc_id] = int_to_byte4(len(toks))
+            sum_dl += len(toks)
+            for pos, t in enumerate(toks):
+                self.postings.setdefault(t, {}).setdefault(doc_id, 0)
+                self.postings[t][doc_id] += 1
+                self.positions.setdefault(t, {}).setdefault(doc_id, []).append(pos)
+        self.stats = BM25Stats(doc_count=len(self.doc_ids), sum_dl=sum_dl)
+        self.cache = norm_cache(self.stats.avgdl)
+
+    # ------------------------------------------------------------- scoring
+
+    def _score_one(self, weight: np.float32, tf: int, doc_id: int) -> np.float32:
+        tf32 = np.float32(tf)
+        c = self.cache[self.norm_bytes[doc_id]]
+        return (np.float32(weight) * tf32) / (tf32 + c)
+
+    def _matches(self, q: Query) -> Dict[int, np.float32]:
+        """doc_id -> float32 score for every matching doc (exhaustive)."""
+        if isinstance(q, MatchAllQuery):
+            return {d: np.float32(q.boost) for d in self.doc_ids}
+        if isinstance(q, TermQuery):
+            pl = self.postings.get(q.term, {})
+            if not pl:
+                return {}
+            w = term_weight(len(pl), self.stats.doc_count, q.boost, self.classic_k1p1)
+            return {d: self._score_one(w, tf, d) for d, tf in pl.items()}
+        if isinstance(q, PhraseQuery):
+            return self._phrase_matches(q)
+        if isinstance(q, BooleanQuery):
+            return self._bool_matches(q)
+        raise TypeError(f"unsupported query {q!r}")
+
+    def _phrase_matches(self, q: PhraseQuery) -> Dict[int, np.float32]:
+        # exact adjacency: positions of term_i must contain p0 + i
+        # ([U] .../search/ExactPhraseMatcher.java); weight = boost * sum(idf)
+        term_pls = [self.positions.get(t) for t in q.terms]
+        if any(pl is None for pl in term_pls):
+            return {}
+        candidates = set(term_pls[0].keys())
+        for pl in term_pls[1:]:
+            candidates &= set(pl.keys())
+        from lucene_solr_spark.functions.bm25 import K1, idf
+
+        w = q.boost * sum(
+            idf(len(self.postings[t]), self.stats.doc_count) for t in q.terms
+        )
+        if self.classic_k1p1:
+            w *= K1 + 1.0
+        w = np.float32(w)
+        out: Dict[int, np.float32] = {}
+        for d in candidates:
+            first = term_pls[0][d]
+            freq = 0
+            others = [set(pl[d]) for pl in term_pls[1:]]
+            for p0 in first:
+                if all((p0 + i + 1) in s for i, s in enumerate(others)):
+                    freq += 1
+            if freq > 0:
+                out[d] = self._score_one(w, freq, d)
+        return out
+
+    def _bool_matches(self, q: BooleanQuery) -> Dict[int, np.float32]:
+        # clause scores sum in clause order (should first, then must is
+        # the convention both engine and oracle use; order is fixed by
+        # the query object so both sides sum identically in float32)
+        excluded = set()
+        for c in q.must_not:
+            excluded |= set(self._matches(c).keys())
+
+        must_maps = [self._matches(c) for c in q.must]
+        should_maps = [self._matches(c) for c in q.should]
+
+        if q.must:
+            allowed = set(must_maps[0].keys())
+            for m in must_maps[1:]:
+                allowed &= set(m.keys())
+        elif q.should:
+            allowed = set()
+            for m in should_maps:
+                allowed |= set(m.keys())
+        else:
+            return {}  # pure-negative boolean matches nothing (Lucene core)
+        allowed -= excluded
+
+        out: Dict[int, np.float32] = {}
+        for d in allowed:
+            acc = np.float32(0.0)
+            for m in must_maps + should_maps:
+                if d in m:
+                    acc = np.float32(acc + m[d])
+            out[d] = acc
+        return out
+
+    # ------------------------------------------------------------- search
+
+    def search(self, query: str | Query, k: int = 10) -> TopDocs:
+        q = parse_query(query, analyzer=self.analyzer) if isinstance(query, str) else query
+        scored = self._matches(q)
+        ranked = sorted(scored.items(), key=lambda it: (-it[1], it[0]))
+        return TopDocs(
+            total_hits=len(scored),
+            score_docs=tuple((d, float(s)) for d, s in ranked[:k]),
+        )
+
+    # introspection helpers for invariants tests
+    def doc_length(self, doc_id: int) -> int:
+        return byte4_to_int(self.norm_bytes[doc_id])

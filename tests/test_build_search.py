@@ -1,0 +1,110 @@
+"""End-to-end: distributed build + query == exhaustive oracle (SURVEY.md §5.2).
+
+The key pattern from the reference's own test strategy: distributed run
+must equal a single-process oracle
+(`[U] solr/core/src/test/.../BaseDistributedSearchTestCase.java ::
+compareResponses`). Rank-identity is asserted on doc_ids AND float32
+scores at k in {1, 10, 100} (BASELINE.json north_rule).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.build import build_index, read_manifest
+from lucene_solr_spark.operators.search import IndexReader
+from lucene_solr_spark.sources import load_source_table
+from tests.oracle import OracleIndex
+
+QUERIES = [
+    # term (incl. hot, medium, df=1-ish, absent, mixed case)
+    "spark", "vector", "the", "content:customer", "zzzabsent", "SPARK",
+    # bool_or 2-5 clauses
+    "spark OR merge", "content:(hash OR scan OR vector)",
+    "batch OR stream OR window OR key OR dup", "spark OR zzzabsent",
+    # bool_and
+    "spark AND merge", "join AND window AND key", "spark AND zzzabsent",
+    # bool_mixed
+    "spark AND NOT merge", "batch OR stream NOT join", "NOT spark",
+    "(hash OR scan) AND NOT (merge OR join)",
+    # phrase
+    '"batch batch"', '"merge line"', '"sort table scan"', '"spark zzzabsent"',
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load_source_table(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(spark, corpus, d, docs_per_seg=128)
+    return IndexReader(spark, d)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    docs = [(r["doc_id"], r["content"]) for r in corpus.select("doc_id", "content").collect()]
+    return OracleIndex(sorted(docs))
+
+
+def test_manifest_metrics(index, corpus):
+    m = index.manifest
+    n = corpus.count()
+    assert m.doc_count == n
+    assert len(m.segments) == -(-n // 128)
+    for s in m.segments:
+        assert s["n_docs"] > 0 and s["n_terms"] > 0 and s["n_postings"] > 0
+        assert len(s["input_fingerprint"]) == 16
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_rank_identity_vs_oracle(index, oracle, k):
+    for qtext in QUERIES:
+        expected = oracle.search(qtext, k=k)
+        got_docs, got_total = index.search_with_total(qtext, k=k)
+        exp = [(d, np.float32(s)) for d, s in expected.score_docs]
+        got = [(d, np.float32(s)) for d, s in got_docs]
+        assert got == exp, (
+            f"query={qtext!r} k={k}\n engine={got[:5]}...\n oracle={exp[:5]}..."
+        )
+        assert got_total == expected.total_hits, f"total_hits mismatch for {qtext!r}"
+
+
+def test_pruned_equals_exhaustive(index, oracle):
+    for qtext in ["spark", "the", "spark OR merge OR vector",
+                  "batch OR stream OR window OR key OR dup", "a OR the OR spark"]:
+        for k in (1, 3, 10, 50):
+            pruned, t1 = index.search_with_total(qtext, k=k, prune="maxscore")
+            naive, t2 = index.search_with_total(qtext, k=k, prune="none")
+            assert [(d, np.float32(s)) for d, s in pruned] == \
+                   [(d, np.float32(s)) for d, s in naive], f"{qtext!r} k={k}"
+            assert t1 == t2
+
+
+def test_sha256_invariant(index, corpus):
+    """Per-row content sha256 equality engine vs source (BASELINE.json:L15)."""
+    src = corpus.select("doc_id", F.sha2("content", 256).alias("expected"))
+    joined = index.docmeta.join(src, "doc_id")
+    n_total = joined.count()
+    n_match = joined.filter(F.col("sha256") == F.col("expected")).count()
+    assert n_total == corpus.count()
+    assert n_match == n_total
+
+
+def test_docmeta_norms_match_oracle(index, oracle):
+    rows = index.docmeta.select("doc_id", "dl", "norm_byte").collect()
+    assert len(rows) == len(oracle.doc_ids)
+    for r in rows:
+        assert r["norm_byte"] == oracle.norm_bytes[r["doc_id"]], r
+
+
+def test_fetch_stored_fields(index):
+    top = index.search("spark", k=5)
+    fetched = index.fetch(top).collect()
+    assert len(fetched) == 5
+    for r in fetched:
+        assert r["repo"] and r["path"] and r["commit"]
+        assert r["sha256"] is not None

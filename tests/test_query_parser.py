@@ -1,0 +1,129 @@
+"""Classic query parser + rewrite semantics (SURVEY.md §2.4, §4.1)."""
+
+import numpy as np
+
+from lucene_solr_spark.plans.query import (
+    BooleanQuery,
+    MatchAllQuery,
+    PhraseQuery,
+    TermQuery,
+    parse_query,
+    query_terms,
+)
+from tests.oracle import OracleIndex
+
+
+def test_single_term():
+    assert parse_query("content:spark") == TermQuery("spark")
+    assert parse_query("Spark") == TermQuery("spark")  # analyzed/lowercased
+
+
+def test_or_group():
+    q = parse_query("content:(spark OR merge OR q7token)")
+    assert isinstance(q, BooleanQuery)
+    assert q.should == (TermQuery("spark"), TermQuery("merge"), TermQuery("q7token"))
+    assert not q.must and not q.must_not
+
+
+def test_implicit_or():
+    assert parse_query("spark merge") == BooleanQuery(
+        should=(TermQuery("spark"), TermQuery("merge"))
+    )
+
+
+def test_and():
+    q = parse_query("spark AND merge")
+    assert q.must == (TermQuery("spark"), TermQuery("merge"))
+
+
+def test_mixed_not():
+    q = parse_query("spark AND NOT merge")
+    assert q.must == (TermQuery("spark"),)
+    assert q.must_not == (TermQuery("merge"),)
+    q2 = parse_query("spark OR merge NOT wand")
+    assert q2.should == (TermQuery("spark"), TermQuery("merge"))
+    assert q2.must_not == (TermQuery("wand"),)
+
+
+def test_phrase():
+    q = parse_query('content:"Inverted Index"')
+    assert q == PhraseQuery(("inverted", "index"))
+    # single-token phrase collapses to TermQuery
+    assert parse_query('"spark"') == TermQuery("spark")
+
+
+def test_pure_negation_wraps_matchall():
+    q = parse_query("NOT spark")
+    assert q.must == (MatchAllQuery(),)
+    assert q.must_not == (TermQuery("spark"),)
+
+
+def test_nested_and_flatten_dedup():
+    q = parse_query("(spark OR (merge OR wand)) OR spark")
+    assert q == BooleanQuery(should=(TermQuery("spark"), TermQuery("merge"), TermQuery("wand")))
+
+
+def test_field_scoping():
+    q = parse_query("lang:python")
+    assert q == TermQuery("python", field="lang")
+
+
+def test_query_terms_order():
+    q = parse_query("b AND a OR c")
+    assert [t for _, t in query_terms(q)] == ["b", "a", "c"]
+
+
+# ------------------------------------------------------- oracle sanity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick spark engine builds an inverted index fast"),
+    (2, "spark spark spark everywhere, nothing but spark"),
+    (3, "a very long document " + "filler " * 200 + "with one spark mention"),
+    (4, "the inverted index maps terms to documents"),
+]
+
+
+def test_oracle_term_ranking():
+    idx = OracleIndex(DOCS)
+    td = idx.search("spark", k=10)
+    assert td.total_hits == 3
+    docs = [d for d, _ in td.score_docs]
+    # doc 2 has tf=4 and is short -> top; doc 3 is very long -> lowest
+    assert docs[0] == 2
+    assert docs[-1] == 3
+    scores = [s for _, s in td.score_docs]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(np.float32(s) == s for s in scores)  # exactly representable
+
+
+def test_oracle_bool_and_phrase():
+    idx = OracleIndex(DOCS)
+    td = idx.search("spark AND index", k=10)
+    assert [d for d, _ in td.score_docs] == [1]
+    td_ph = idx.search('"inverted index"', k=10)
+    assert sorted(d for d, _ in td_ph.score_docs) == [1, 4]
+    # phrase in wrong order does not match
+    td_rev = idx.search('"index inverted"', k=10)
+    assert td_rev.total_hits == 0
+
+
+def test_oracle_must_not():
+    idx = OracleIndex(DOCS)
+    td = idx.search("quick NOT spark", k=10)
+    assert [d for d, _ in td.score_docs] == [0]
+
+
+def test_oracle_tiebreak_doc_asc():
+    idx = OracleIndex([(7, "same text"), (3, "same text"), (5, "same text")])
+    td = idx.search("same", k=3)
+    assert [d for d, _ in td.score_docs] == [3, 5, 7]
+    s = {s for _, s in td.score_docs}
+    assert len(s) == 1  # identical scores, ordered by doc_id
+
+
+def test_oracle_absent_term():
+    idx = OracleIndex(DOCS)
+    td = idx.search("zzzmissing", k=10)
+    assert td.total_hits == 0 and td.score_docs == ()

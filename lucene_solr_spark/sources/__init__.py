@@ -17,7 +17,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["load_documents", "load_source_table", "synth_repo_files", "SOURCE_SCHEMA"]
+__all__ = [
+    "load_documents", "load_source_table", "synth_repo_files", "synth_rows",
+    "synth_corpus_local", "assign_doc_ids", "SOURCE_SCHEMA",
+]
 
 SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
@@ -74,6 +77,40 @@ def _zipf_weights(n: int, s: float = 1.2) -> np.ndarray:
     return w / w.sum()
 
 
+def synth_rows(ids, seed: int = 42) -> pd.DataFrame:
+    """Deterministic row generation for a batch of ids (pure
+    Python/numpy — shared by the Spark generator and the no-Spark
+    golden-fixture path so both see byte-identical corpora)."""
+    vocab = _vocab()
+    weights = _zipf_weights(len(vocab))
+    punct = np.array([" ", " ", " ", "\n", "(", ")", ";", " = ", " + ", "."], dtype=object)
+    rows = []
+    for i in ids:
+        i = int(i)
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        n_tok = int(rng.integers(20, 401))
+        toks = rng.choice(vocab, size=n_tok, p=weights)
+        seps = rng.choice(punct, size=n_tok)
+        content = "".join(t + s for t, s in zip(toks, seps))
+        if i % 37 == 0:
+            content += " " + _SPICE[i % len(_SPICE)]
+        repo = f"org{i % 7}/repo{i % 97}"
+        ext, lang = _EXTS[i % len(_EXTS)]
+        path = f"src/d{i // 100}/f{i}.{ext}"
+        commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+        rows.append((repo, path, commit, lang, content))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def synth_corpus_local(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """No-Spark fixture corpus with the deterministic doc_id rank
+    (FIXTURES.md §1: dense rank over (repo, path, commit))."""
+    pdf = synth_rows(range(n_rows), seed)
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
+
+
 def synth_repo_files(spark: SparkSession, n_rows: int, seed: int = 42,
                      num_partitions: int | None = None) -> DataFrame:
     """FIXTURES.md §1 generator: seeded-PRNG token stream over a
@@ -84,28 +121,10 @@ def synth_repo_files(spark: SparkSession, n_rows: int, seed: int = 42,
     """
     P = num_partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n_rows, 1, P)
-    vocab = _vocab()
-    weights = _zipf_weights(len(vocab))
-    punct = np.array([" ", " ", " ", "\n", "(", ")", ";", " = ", " + ", "."], dtype=object)
 
     def gen(batches):
         for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            rows = []
-            for i in ids:
-                rng = np.random.default_rng(seed * 1_000_003 + int(i))
-                n_tok = int(rng.integers(20, 401))
-                toks = rng.choice(vocab, size=n_tok, p=weights)
-                seps = rng.choice(punct, size=n_tok)
-                content = "".join(t + s for t, s in zip(toks, seps))
-                if i % 37 == 0:
-                    content += " " + _SPICE[int(i) % len(_SPICE)]
-                repo = f"org{i % 7}/repo{i % 97}"
-                ext, lang = _EXTS[int(i) % len(_EXTS)]
-                path = f"src/d{int(i) // 100}/f{int(i)}.{ext}"
-                commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
-                rows.append((repo, path, commit, lang, content))
-            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+            yield synth_rows(pdf["id"].to_numpy(), seed)
 
     return base.mapInPandas(gen, schema=SOURCE_SCHEMA)
 

@@ -20,7 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lucene_solr_spark.operators import multimodal as mm
+from lucene_solr_spark.operators import similarity as sim
 from lucene_solr_spark.operators import streamexpr as sx
+from lucene_solr_spark.operators import textproc as tp
 from lucene_solr_spark.operators.build import build_index, read_manifest
 from lucene_solr_spark.operators.search import IndexReader
 from lucene_solr_spark.sources import load_documents, load_source_table
@@ -181,7 +184,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["user_id"], "event_id",
     ).select("user_id", F.concat_ws(",", F.col("event_ids")).alias("event_ids"))
 
+    # ---- dedup (training-data pipeline; SURVEY.md §2 + task brief)
+    q["dedup_exact_groups"] = lambda s, sf: tp.exact_dedup(_docs(s, sf), "text")
+    q["dedup_ngram_jaccard"] = lambda s, sf: tp.ngram_jaccard_pairs(
+        _docs(s, sf), 0.5, "text"
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+    q["dedup_minhash_lsh"] = lambda s, sf: tp.minhash_dedup_pairs(
+        _docs(s, sf), 0.5, "text"
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+    q["dedup_simhash"] = lambda s, sf: tp.simhash_near_dup_pairs(_docs(s, sf), 3, "text")
+    q["dedup_embedding_cosine"] = lambda s, sf: sim.exact_near_dup_pairs(
+        _t(s, sf, "embeddings"), 0.25
+    ).select("a", "b", F.round("cosine", 4).alias("cosine_r"))
+    q["dedup_embedding_lsh_planted"] = lambda s, sf: sim.embedding_near_dup_pairs(
+        _planted_embeddings(s, sf), 0.999
+    ).select("a", "b", F.round("cosine", 4).alias("cosine_r"))
+
+    # ---- similarity search
+    q["ann_cosine_topk"] = lambda s, sf: sim.cosine_topk(
+        _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10
+    ).select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+    q["ann_knn_join"] = lambda s, sf: sim.cosine_knn_join(
+        _t(s, sf, "embeddings"),
+        _t(s, sf, "embeddings").filter(F.col("vec_id") < 5),
+        k=3,
+    ).select("probe_id", "rnk", "target_id", F.round("cosine", 4).alias("cosine_r"))
+    q["ann_lsh_topk"] = lambda s, sf: sim.lsh_bucket_topk(
+        _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10
+    ).select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+    # ---- text analysis
+    q["text_token_count"] = lambda s, sf: tp.token_count(_docs(s, sf), "text")
+    q["text_quality"] = lambda s, sf: tp.quality_score(_docs(s, sf), "text")
+    q["text_language_id"] = lambda s, sf: tp.language_id(_docs(s, sf), "text")
+    q["text_fingerprint"] = lambda s, sf: tp.doc_fingerprint(_docs(s, sf), "text").select(
+        "id", "digest", F.size("fingerprints").alias("n_fp")
+    )
+
+    # ---- multimodal plumbing (synthetic deterministic media, no table)
+    q["mm_image_meta"] = lambda s, sf: mm.extract_image_meta(mm.synth_media(s, 64))
+    q["mm_image_resize"] = lambda s, sf: mm.decode_and_resize(mm.synth_media(s, 64)).select(
+        "media_id", "out_w", "out_h", F.length("thumb").alias("thumb_bytes")
+    )
+    q["mm_frame_sample"] = lambda s, sf: mm.sample_frames(mm.synth_media(s, 64))
+    q["mm_audio_features"] = lambda s, sf: mm.audio_features(mm.synth_media(s, 64))
+
     return q
+
+
+def _planted_embeddings(s: SparkSession, sf: str) -> DataFrame:
+    """embeddings ∪ exact copies of vec_id<10 shifted to id+10000 —
+    deterministic planted duplicates for the LSH near-dup oracle."""
+    emb = s.read.parquet(f"{sf}/embeddings.parquet")
+    return emb.unionByName(
+        emb.filter(F.col("vec_id") < 10)
+        .withColumn("vec_id", F.col("vec_id") + 10000)
+    )
 
 
 # ---------------------------------------------------------------- oracle
@@ -296,4 +354,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS event_ids
             FROM events WHERE event_type = 'error' GROUP BY user_id
         """,
+        "dedup_exact_groups": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        # exact n-gram Jaccard — also the oracle for the MinHash+LSH path
+        # (banding params give recall ~1.0; pytest asserts parity too)
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_r
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+        """,
+        "dedup_embedding_lsh_planted": """
+            WITH pe AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_r
+            FROM pe a, pe b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999
+        """,
+        "ann_cosine_topk": f"""
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QVEC_LIT}), 4) AS cosine_r
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_LIT}) DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_knn_join": """
+            WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT pid AS probe_id, t.vec_id AS target_id,
+                     list_cosine_similarity(t.embedding::DOUBLE[], pe::DOUBLE[]) AS c
+              FROM embeddings t, p WHERE t.vec_id != pid
+            )
+            SELECT probe_id, rnk, target_id, ROUND(c, 4) AS cosine_r FROM (
+              SELECT probe_id, target_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c DESC, target_id) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_pieces,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS L,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha
+              FROM documents),
+            m AS (
+              SELECT doc_id, L, alpha, len(tk) AS nt,
+                     len(list_filter(tk, x -> list_contains({_STOP_LIT}, x))) AS ns,
+                     COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS sl
+              FROM t)
+            SELECT doc_id, nt AS n_tokens,
+                   ROUND(CASE WHEN L > 0 THEN alpha / L ELSE 0 END, 6) AS alpha_ratio,
+                   ROUND(CASE WHEN nt > 0 THEN ns / nt ELSE 0 END, 6) AS stop_ratio,
+                   ROUND(CASE WHEN nt > 0 THEN sl / nt ELSE 0 END, 6) AS mean_word_len,
+                   ROUND(0.4 * least(1.0, nt / 64.0)
+                         + 0.3 * (CASE WHEN L > 0 THEN alpha / L ELSE 0 END)
+                         + 0.3 * least(1.0, (CASE WHEN nt > 0 THEN ns / nt ELSE 0 END) * 4), 6) AS quality
+            FROM m
+        """,
     }
+
+
+def _qvec_literal() -> str:
+    from lucene_solr_spark.operators.similarity import fixed_query_vector
+
+    return "[" + ",".join(repr(x) for x in fixed_query_vector(64)) + "]::DOUBLE[]"
+
+
+_QVEC_LIT = _qvec_literal()
+
+_STOP_LIT = (
+    "['" + "','".join(
+        "a an and are as at be by for from has he in is it its of on that the to was were will with".split()
+    ) + "']"
+)
+
+_JACCARD_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)])) AS shingle
+      FROM toks WHERE len(tk) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT a, b, ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard_r
+    FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""

@@ -1,0 +1,100 @@
+"""Similarity-search operator tests (ANN over embedding columns)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _np_cosine_topk(rows, qvec, k):
+    q = np.asarray(qvec, dtype=np.float64)
+    scored = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        c = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        scored.append((r["vec_id"], c))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    qvec = sim.fixed_query_vector(64)
+    expect = _np_cosine_topk(emb.collect(), qvec, 10)
+    got = [(r["vec_id"], r["cosine"]) for r in sim.cosine_topk(emb, qvec, 10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gid, gc), (eid, ec) in zip(got, expect):
+        assert abs(gc - ec) < 1e-9
+
+
+def test_cosine_topk_stays_jvm_side(emb):
+    """The exact path must not contain any Python UDF eval node."""
+    plan = sim.cosine_topk(emb, sim.fixed_query_vector(64), 10)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join(emb):
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = sim.cosine_knn_join(emb, probes, k=4).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    rows = emb.collect()
+    for pid, got in by_probe.items():
+        got.sort(key=lambda r: r["rnk"])
+        qvec = next(r["embedding"] for r in rows if r["vec_id"] == pid)
+        expect = [t for t in _np_cosine_topk(rows, qvec, 5) if t[0] != pid][:4]
+        assert [g["target_id"] for g in got] == [e[0] for e in expect]
+
+
+def test_lsh_topk_subset_and_exact_scores(emb):
+    """LSH results carry EXACT cosines and are drawn from the corpus;
+    a planted duplicate of the query must always be recalled at rank 1."""
+    qvec = sim.fixed_query_vector(64)
+    spark = emb.sparkSession
+    planted = emb.unionByName(
+        spark.createDataFrame([(99999, [float(x) for x in qvec], 0)],
+                              "vec_id long, embedding array<float>, label int")
+    )
+    got = sim.lsh_bucket_topk(planted, qvec, k=5).collect()
+    assert got[0]["vec_id"] == 99999
+    assert abs(got[0]["cosine"] - 1.0) < 1e-6
+    all_rows = {r["vec_id"]: r["embedding"] for r in planted.collect()}
+    for r in got:
+        v = np.asarray(all_rows[r["vec_id"]], dtype=np.float64)
+        q = np.asarray(qvec)
+        expect = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r["cosine"] - expect) < 1e-9
+
+
+def test_lsh_near_dup_finds_planted(emb):
+    spark = emb.sparkSession
+    dup = emb.filter(F.col("vec_id") < 8).withColumn("vec_id", F.col("vec_id") + 10000)
+    planted = emb.unionByName(dup)
+    pairs = {(r["a"], r["b"]) for r in
+             sim.embedding_near_dup_pairs(planted, 0.999).collect()}
+    assert {(i, i + 10000) for i in range(8)} <= pairs
+
+
+def test_lsh_near_dup_matches_exact(emb):
+    """LSH-bucketed near-dup == exact O(n^2) pairs at high threshold."""
+    spark = emb.sparkSession
+    dup = emb.filter(F.col("vec_id") < 5).withColumn("vec_id", F.col("vec_id") + 10000)
+    planted = emb.unionByName(dup)
+    exact = {(r["a"], r["b"]) for r in sim.exact_near_dup_pairs(planted, 0.999).collect()}
+    lsh = {(r["a"], r["b"]) for r in sim.embedding_near_dup_pairs(planted, 0.999).collect()}
+    assert lsh == exact
+
+
+def test_fixed_query_vector_unit():
+    v = sim.fixed_query_vector(64)
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-12

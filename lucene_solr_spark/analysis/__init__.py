@@ -70,6 +70,49 @@ SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE}
 
+# ---------------------------------------------------------------- JVM side
+#
+# The SAME tokenization as a Spark Column expression: lower + split on
+# the COMPLEMENT of the token pattern (Java regex supports the
+# lookarounds). Classes are spelled with explicit Unicode properties so
+# they equal Python's: \w == [\p{L}\p{N}_], [^\W\d_] == [\p{L}\p{Nl}\p{No}],
+# \d == \p{Nd}  (Java's (?U)\w would also include combining marks Mn,
+# which Python's \w does not — the Turkish İ -> i+U+0307 case; pinned
+# by test_analysis.test_jvm_tokens_match_python).
+# Running the tokenizer inside Tungsten keeps the hot loop JVM-side and
+# whole-stage-codegen'd; Python only ever sees compact Arrow arrays.
+_J_W = r"\p{L}\p{N}_"
+_J_LET = r"[\p{L}\p{Nl}\p{No}]"
+_J_DIG = r"\p{Nd}"
+JVM_SPLIT_REGEX = (
+    "(?:"
+    f"[^{_J_W}.,:;'’·]"
+    f"|(?<!{_J_LET})[:·]"
+    f"|[:·](?!{_J_LET})"
+    f"|(?<!{_J_DIG})[,;]"
+    f"|[,;](?!{_J_DIG})"
+    f"|(?<!{_J_LET})(?<!{_J_DIG})[.'’]"
+    f"|(?<={_J_LET})[.'’](?!{_J_LET})"
+    f"|(?<={_J_DIG})[.'’](?!{_J_DIG})"
+    ")+"
+)
+JVM_SIMPLE_SPLIT_REGEX = "[^a-z0-9_]+"
+
+
+def tokens_column(col, analyzer: str = "standard"):
+    """Spark Column: text -> array<string> of tokens, identical to
+    ``tokenize()`` except the maxTokenLength=255 chunking, which the
+    build kernel applies to the (rare) affected rows."""
+    from pyspark.sql import functions as F
+
+    if analyzer == "standard":
+        pattern = JVM_SPLIT_REGEX
+    elif analyzer == "simple":
+        pattern = JVM_SIMPLE_SPLIT_REGEX
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    return F.filter(F.split(F.lower(col), pattern, -1), lambda t: t != "")
+
 
 def _split_long(tok: str) -> List[str]:
     if len(tok) <= MAX_TOKEN_LENGTH:

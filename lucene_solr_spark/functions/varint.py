@@ -15,16 +15,24 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_varint", "decode_varint", "delta_encode", "delta_decode"]
+__all__ = ["encode_varint", "encode_varint_with_lengths", "decode_varint",
+           "delta_encode", "delta_decode"]
 
 _MAX_VARINT_BYTES = 10  # 64-bit worst case
 
 
 def encode_varint(values: np.ndarray) -> bytes:
     """LEB128-encode a non-negative int array into a byte string."""
+    return encode_varint_with_lengths(values)[0]
+
+
+def encode_varint_with_lengths(values: np.ndarray):
+    """LEB128-encode; also return the byte length of each value so
+    callers can slice the stream at arbitrary value boundaries (the
+    whole-segment single-pass encode in the build kernel)."""
     v = np.asarray(values)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     if v.min() < 0:
         raise ValueError("varint values must be non-negative")
     v = v.astype(np.uint64)
@@ -56,7 +64,7 @@ def encode_varint(values: np.ndarray) -> bytes:
         nxt = active.copy()
         nxt[active] = more
         active = nxt
-    return out.tobytes()
+    return out.tobytes(), nbytes
 
 
 def decode_varint(buf: bytes | bytearray | memoryview | np.ndarray) -> np.ndarray:

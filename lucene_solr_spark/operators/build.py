@@ -45,22 +45,22 @@ from pyspark.sql import functions as F
 
 from ..analysis import tokenize_series
 from ..functions.smallfloat import encode_norms
-from ..functions.varint import delta_encode, encode_varint
+from ..functions.varint import encode_varint_with_lengths
 
 BLOCK_SIZE = 128  # docs per posting block, mirroring ForUtil.BLOCK_SIZE
 DEFAULT_DOCS_PER_SEG = 4096
 DEFAULT_SHARD_POSTINGS = 1 << 17  # hot-term row split threshold
 TERM_BUCKETS = 1024  # coarse term-space partitioning for pushdown at scale
 
-TOKENROW_SCHEMA = (
-    "seg int, doc_id long, term string, tf int, norm int, positions array<int>, dl int"
-)
-
+# Flat format v3 (functions/postings.py): whole-list blobs + per-block
+# metadata arrays instead of nested block structs
 POSTINGS_SCHEMA = (
     "field string, term string, term_bucket int, seg int, shard int, "
     "df int, cum_tf long, max_tf int, min_norm int, "
-    "blocks array<struct<first_doc:long,last_doc:long,n:int,max_tf:int,min_norm:int,"
-    "docs:binary,tfs:binary,pos:binary,norms:binary>>"
+    "blk_first array<long>, blk_last array<long>, blk_n array<int>, "
+    "blk_max_tf array<int>, blk_min_norm array<int>, "
+    "blk_doc_off array<int>, blk_tf_off array<int>, blk_pos_off array<int>, "
+    "docs binary, tfs binary, pos binary, norms binary"
 )
 
 DOCMETA_SCHEMA = (
@@ -69,106 +69,301 @@ DOCMETA_SCHEMA = (
 )
 
 
-# ------------------------------------------------------------ tokenization
+_POSTING_COLS = [c.split()[0] for c in POSTINGS_SCHEMA.split(", ") if c.split()[0] != "seg"]
+_DOCMETA_COLS = ["doc_id", "repo", "path", "commit", "lang", "dl", "norm_byte", "sha256"]
+
+# per-segment stats row: the ONLY thing a build task sends back to the
+# driver (the manifest/lineage record; everything else is written by the
+# task itself, Lucene-style)
+STATS_SCHEMA = (
+    "seg int, n_docs long, doc_base long, sum_dl long, "
+    "n_terms long, n_postings long, fp_sum long"
+)
 
 
-def tokenize_to_termrows(src: DataFrame, analyzer: str = "standard",
-                         field_name: str = "content") -> DataFrame:
-    """source rows -> one row per (doc, term): (seg, doc_id, term, tf, norm,
-    positions, dl). Vectorized pandas kernel behind mapInPandas."""
+def _postings_pa_schema():
+    import pyarrow as pa
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            toks = tokenize_series(pdf[field_name], analyzer)
-            dls = toks.map(len).to_numpy(dtype=np.int64)
-            norms = encode_norms(dls).astype(np.int32)
-            out_rows = {
-                "seg": [], "doc_id": [], "term": [], "tf": [],
-                "norm": [], "positions": [], "dl": [],
-            }
-            segs = pdf["seg"].to_numpy()
-            dids = pdf["doc_id"].to_numpy()
-            for i, tok_list in enumerate(toks):
-                if not tok_list:
-                    continue
-                s = pd.Series(range(len(tok_list)), index=tok_list)
-                grouped = s.groupby(level=0, sort=False).agg(list)
-                n = len(grouped)
-                out_rows["seg"].extend([int(segs[i])] * n)
-                out_rows["doc_id"].extend([int(dids[i])] * n)
-                out_rows["term"].extend(grouped.index.tolist())
-                out_rows["positions"].extend(grouped.tolist())
-                out_rows["tf"].extend(len(p) for p in grouped)
-                out_rows["norm"].extend([int(norms[i])] * n)
-                out_rows["dl"].extend([int(dls[i])] * n)
-            yield pd.DataFrame(out_rows)
-
-    return src.mapInPandas(kernel, schema=TOKENROW_SCHEMA)
+    return pa.schema([
+        ("field", pa.string()), ("term", pa.string()),
+        ("term_bucket", pa.int32()), ("shard", pa.int32()),
+        ("df", pa.int32()), ("cum_tf", pa.int64()),
+        ("max_tf", pa.int32()), ("min_norm", pa.int32()),
+        ("blk_first", pa.list_(pa.int64())), ("blk_last", pa.list_(pa.int64())),
+        ("blk_n", pa.list_(pa.int32())), ("blk_max_tf", pa.list_(pa.int32())),
+        ("blk_min_norm", pa.list_(pa.int32())),
+        ("blk_doc_off", pa.list_(pa.int32())), ("blk_tf_off", pa.list_(pa.int32())),
+        ("blk_pos_off", pa.list_(pa.int32())),
+        ("docs", pa.binary()), ("tfs", pa.binary()),
+        ("pos", pa.binary()), ("norms", pa.binary()),
+    ])
 
 
-# -------------------------------------------------------- segment building
+def _atomic_parquet_write(table, dirname: str, row_group_size: int) -> None:
+    """tmp write + atomic rename, one file per segment dir. Retried or
+    speculative tasks rewrite identical deterministic bytes, so the
+    rename is idempotent (the segments_N discipline at file level)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirname, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".inprogress")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, row_group_size=row_group_size,
+                       compression="snappy")
+        os.replace(tmp, os.path.join(dirname, "part-00000.parquet"))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
-def _encode_positions(pos_lists: List[List[int]]) -> bytes:
-    """Per-doc delta-encode positions, concatenate, varint once."""
-    if not pos_lists:
-        return b""
-    deltas = np.concatenate([delta_encode(np.asarray(p, dtype=np.int64)) for p in pos_lists])
-    return encode_varint(deltas)
+def _seg_term_codes(texts: List[str], analyzer: str):
+    """Python texts of ONE segment -> (dls, codes in sorted-term space,
+    uniq_sorted terms). CPython's sre ``findall`` measures ~5x faster
+    per core than Java's regex on the same token grammar (lookaround
+    alternations are slow on the JVM), so tokenization stays in the
+    Python kernel; everything downstream of the token lists is
+    numpy/pandas vectorized."""
+    from ..analysis import tokenize
+
+    lists = [tokenize(t, analyzer) for t in texts]
+    dls = np.fromiter((len(lst) for lst in lists), dtype=np.int64, count=len(lists))
+    total = int(dls.sum())
+    if total == 0:
+        return dls, np.empty(0, np.int64), []
+    flat = np.empty(total, dtype=object)
+    o = 0
+    for lst in lists:
+        flat[o:o + len(lst)] = lst
+        o += len(lst)
+    codes, uniq = pd.factorize(flat, sort=True)
+    return dls, codes.astype(np.int64), list(uniq)
 
 
-def _build_blocks(docs: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
-                  pos_lists: List[List[int]]) -> List[dict]:
-    blocks = []
-    for s in range(0, len(docs), BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, len(docs))
-        d, t, nr = docs[s:e], tfs[s:e], norms[s:e]
-        blocks.append({
-            "first_doc": int(d[0]),
-            "last_doc": int(d[-1]),
-            "n": int(e - s),
-            "max_tf": int(t.max()),
-            "min_norm": int(nr.min()),
-            "docs": encode_varint(delta_encode(d)),
-            "tfs": encode_varint(t),
-            "pos": _encode_positions(pos_lists[s:e]),
-            "norms": nr.astype(np.uint8).tobytes(),
-        })
-    return blocks
-
-
-def make_segment_kernel(field_name: str = "content",
+def make_segment_writer(index_dir: str, analyzer: str = "standard",
+                        field_name: str = "content",
                         shard_postings: int = DEFAULT_SHARD_POSTINGS):
-    """applyInPandas kernel: all term rows of ONE segment -> posting rows."""
+    """mapInArrow kernel: a partition of tokenized docs -> segment
+    parquet ON DISK + 1 stats row per segment.
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["seg"].iloc[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        out = {c: [] for c in ("field", "term", "term_bucket", "seg", "shard",
-                               "df", "cum_tf", "max_tf", "min_norm", "blocks")}
-        for term, g in pdf.groupby("term", sort=True):
-            docs = g["doc_id"].to_numpy(dtype=np.int64)
-            tfs = g["tf"].to_numpy(dtype=np.int64)
-            norms = g["norm"].to_numpy(dtype=np.int64)
-            pos = g["positions"].tolist()
-            n = len(docs)
-            bucket = _term_bucket_py(term)
-            for shard_idx, s in enumerate(range(0, n, shard_postings)):
-                e = min(s + shard_postings, n)
-                blocks = _build_blocks(docs[s:e], tfs[s:e], norms[s:e], pos[s:e])
-                out["field"].append(field_name)
-                out["term"].append(term)
-                out["term_bucket"].append(bucket)
-                out["seg"].append(seg)
-                out["shard"].append(shard_idx)
-                out["df"].append(int(e - s))
-                out["cum_tf"].append(int(tfs[s:e].sum()))
-                out["max_tf"].append(int(tfs[s:e].max()))
-                out["min_norm"].append(int(norms[s:e].min()))
-                out["blocks"].append(blocks)
-        return pd.DataFrame(out)
+    Per segment: tokenize (CPython sre, see ``_seg_term_codes``), one
+    lexsort, run-length boundaries, ONE varint pass per stream
+    (docs/tfs/pos), then a fully columnar Arrow table assembly where
+    per-term rows are zero-copy byte SLICES of those three stream
+    buffers (no per-term Python loop). Mirrors the
+    reference's per-term postings write (`[U] .../index/
+    FreqProxTermsWriter.java :: flush`) with the per-block impacts of
+    `Lucene84SkipWriter.java`.
+
+    The task writes its own parquet (pyarrow, tmp+rename) exactly like
+    a Lucene DWPT flushing segment files, and returns only the
+    manifest stats rows — no posting bytes ever re-enter the Spark
+    shuffle/commit machinery, which is what makes the build scale
+    linearly with cores.
+    """
+    import pyarrow as pa
+
+    def process_segment(sub) -> dict:
+        seg = sub["seg"][0].as_py()
+        doc_ids = sub["doc_id"].to_numpy().astype(np.int64)
+        dls, codes_flat, uniq_list = _seg_term_codes(
+            sub[field_name].to_pylist(), analyzer
+        )
+        norms_by_doc = encode_norms(dls).astype(np.int64)
+
+        total = int(dls.sum())
+        if total:
+            doc_idx = np.repeat(np.arange(len(sub), dtype=np.int64), dls)
+            starts = np.zeros(len(sub), dtype=np.int64)
+            starts[1:] = np.cumsum(dls)[:-1]
+            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, dls)
+            codes = codes_flat
+
+            order = np.lexsort((pos_in_doc, doc_idx, codes))
+            c_s, d_s, p_s = codes[order], doc_idx[order], pos_in_doc[order]
+
+            # (term, doc) run boundaries -> tf per posting
+            pair_change = np.empty(total, dtype=bool)
+            pair_change[0] = True
+            pair_change[1:] = (np.diff(c_s) != 0) | (np.diff(d_s) != 0)
+            run_starts = np.flatnonzero(pair_change)
+            run_ends = np.append(run_starts[1:], total)
+            tf_all = (run_ends - run_starts).astype(np.int64)
+            post_term = c_s[run_starts]            # term code per posting
+            post_doc = d_s[run_starts]             # local doc idx per posting
+            n_post = len(post_term)
+
+            # position deltas over the sorted stream, absolute at every
+            # (term, doc) run start
+            pos_delta = np.empty(total, dtype=np.int64)
+            pos_delta[0] = p_s[0]
+            pos_delta[1:] = p_s[1:] - p_s[:-1]
+            pos_delta[run_starts] = p_s[run_starts]
+
+            # term boundaries over the posting stream
+            t_change = np.empty(n_post, dtype=bool)
+            t_change[0] = True
+            t_change[1:] = np.diff(post_term) != 0
+            term_starts = np.flatnonzero(t_change)
+            term_ends = np.append(term_starts[1:], n_post)
+
+            # global 128-doc block grid, aligned to term starts (shard
+            # boundaries are multiples of BLOCK_SIZE so they align too)
+            nb = (term_ends - term_starts + BLOCK_SIZE - 1) // BLOCK_SIZE
+            blk_of_term = np.repeat(np.arange(len(term_starts)), nb)
+            blk_local = np.arange(int(nb.sum()), dtype=np.int64) - \
+                np.repeat(np.cumsum(nb) - nb, nb)
+            block_starts = term_starts[blk_of_term] + blk_local * BLOCK_SIZE
+            block_ends = np.minimum(block_starts + BLOCK_SIZE, term_ends[blk_of_term])
+
+            docs_stream = doc_ids[post_doc]
+            norms_stream = norms_by_doc[post_doc]
+
+            # doc deltas, absolute reset at every block start
+            ddel = np.empty(n_post, dtype=np.int64)
+            ddel[0] = docs_stream[0]
+            np.subtract(docs_stream[1:], docs_stream[:-1], out=ddel[1:])
+            ddel[block_starts] = docs_stream[block_starts]
+
+            # ONE varint pass per stream for the whole segment
+            docs_buf, dlen = encode_varint_with_lengths(ddel)
+            tfs_buf, tlen = encode_varint_with_lengths(tf_all)
+            pos_buf, plen = encode_varint_with_lengths(pos_delta)
+            dboff = np.zeros(n_post + 1, dtype=np.int64)
+            np.cumsum(dlen, out=dboff[1:])
+            tboff = np.zeros(n_post + 1, dtype=np.int64)
+            np.cumsum(tlen, out=tboff[1:])
+            pboff = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(plen, out=pboff[1:])
+            pos_excl = np.zeros(n_post + 1, dtype=np.int64)
+            pos_excl[1:] = np.cumsum(tf_all)
+
+            # per-block stats (reduceat over the contiguous block grid)
+            blk_first_g = docs_stream[block_starts]
+            blk_last_g = docs_stream[block_ends - 1]
+            blk_n_g = (block_ends - block_starts).astype(np.int32)
+            blk_max_tf_g = np.maximum.reduceat(tf_all, block_starts).astype(np.int32)
+            blk_min_norm_g = np.minimum.reduceat(norms_stream, block_starts).astype(np.int32)
+            blk_boundaries = np.zeros(len(term_starts) + 1, dtype=np.int64)
+            np.cumsum(nb, out=blk_boundaries[1:])
+
+            # per-term cum_tf / max_tf / min_norm via reduceat
+            cum_tf_t = np.add.reduceat(tf_all, term_starts)
+            max_tf_t = np.maximum.reduceat(tf_all, term_starts)
+            min_norm_t = np.minimum.reduceat(norms_stream, term_starts)
+
+            # ---- fully columnar row assembly (no per-term Python loop):
+            # build segments never shard (df <= docs_per_seg << shard
+            # threshold; merge handles sharding), so one row per term and
+            # every array below is a zero-copy view over the stream
+            # buffers via Arrow offsets.
+            n_terms = len(term_starts)
+            t_end_off = np.append(term_starts, n_post)
+
+            def _list_arr(values: np.ndarray, boundaries: np.ndarray, typ):
+                return pa.ListArray.from_arrays(
+                    pa.array(boundaries.astype(np.int32)), pa.array(values, typ))
+
+            def _binary_arr(buf: bytes, value_offsets: np.ndarray):
+                off = np.ascontiguousarray(value_offsets, dtype=np.int32)
+                return pa.Array.from_buffers(
+                    pa.binary(), len(off) - 1,
+                    [None, pa.py_buffer(off.tobytes()), pa.py_buffer(buf)])
+
+            d_lo_blk = dboff[term_starts][blk_of_term]
+            t_lo_blk = tboff[term_starts][blk_of_term]
+            p_lo_blk = pboff[pos_excl[term_starts]][blk_of_term]
+            buckets = np.fromiter(
+                (_term_bucket_py(t) for t in uniq_list), dtype=np.int32, count=n_terms)
+
+            post_table = pa.table({
+                "field": pa.repeat(field_name, n_terms).cast(pa.string()),
+                "term": pa.array(uniq_list, pa.string()),
+                "term_bucket": pa.array(buckets, pa.int32()),
+                "shard": pa.repeat(pa.scalar(0, pa.int32()), n_terms),
+                "df": pa.array((term_ends - term_starts).astype(np.int32), pa.int32()),
+                "cum_tf": pa.array(cum_tf_t, pa.int64()),
+                "max_tf": pa.array(max_tf_t.astype(np.int32), pa.int32()),
+                "min_norm": pa.array(min_norm_t.astype(np.int32), pa.int32()),
+                "blk_first": _list_arr(blk_first_g, blk_boundaries, pa.int64()),
+                "blk_last": _list_arr(blk_last_g, blk_boundaries, pa.int64()),
+                "blk_n": _list_arr(blk_n_g, blk_boundaries, pa.int32()),
+                "blk_max_tf": _list_arr(blk_max_tf_g, blk_boundaries, pa.int32()),
+                "blk_min_norm": _list_arr(blk_min_norm_g, blk_boundaries, pa.int32()),
+                "blk_doc_off": _list_arr(
+                    (dboff[block_starts] - d_lo_blk).astype(np.int32),
+                    blk_boundaries, pa.int32()),
+                "blk_tf_off": _list_arr(
+                    (tboff[block_starts] - t_lo_blk).astype(np.int32),
+                    blk_boundaries, pa.int32()),
+                "blk_pos_off": _list_arr(
+                    (pboff[pos_excl[block_starts]] - p_lo_blk).astype(np.int32),
+                    blk_boundaries, pa.int32()),
+                "docs": _binary_arr(docs_buf, dboff[t_end_off]),
+                "tfs": _binary_arr(tfs_buf, tboff[t_end_off]),
+                "pos": _binary_arr(pos_buf, pboff[pos_excl[t_end_off]]),
+                "norms": _binary_arr(norms_stream.astype(np.uint8).tobytes(),
+                                     t_end_off),
+            }, schema=_postings_pa_schema())
+            seg_n_terms = n_terms
+            seg_n_postings = n_post
+        else:
+            post_table = _postings_pa_schema().empty_table()
+            seg_n_terms = 0
+            seg_n_postings = 0
+
+        _atomic_parquet_write(post_table, os.path.join(index_dir, "postings", f"seg={seg}"),
+                              row_group_size=2048)
+
+        meta_table = pa.table({
+            "doc_id": sub["doc_id"],
+            "repo": sub["repo"],
+            "path": sub["path"],
+            "commit": sub["commit"],
+            "lang": sub["lang"],
+            "dl": pa.array(dls, pa.int32()),
+            "norm_byte": pa.array(norms_by_doc, pa.int32()),
+            "sha256": sub["sha256"],
+        })
+        _atomic_parquet_write(meta_table, os.path.join(index_dir, "docmeta", f"seg={seg}"),
+                              row_group_size=65536)
+
+        fp = 0
+        for s in sub["sha256"].to_pylist():
+            fp ^= int(s[:15], 16)
+        return {
+            "seg": int(seg),
+            "n_docs": len(sub),
+            "doc_base": int(doc_ids.min()),
+            "sum_dl": int(dls.sum()),
+            "n_terms": int(seg_n_terms),
+            "n_postings": int(seg_n_postings),
+            "fp_sum": fp,
+        }
+
+    stats_pa = pa.schema([
+        ("seg", pa.int32()), ("n_docs", pa.int64()), ("doc_base", pa.int64()),
+        ("sum_dl", pa.int64()), ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()), ("fp_sum", pa.int64()),
+    ])
+
+    def kernel(batches):
+        batch_list = [b for b in batches if b.num_rows]
+        rows = []
+        if batch_list:
+            tbl = pa.Table.from_batches(batch_list)
+            seg_np = tbl["seg"].to_numpy()
+            doc_np = tbl["doc_id"].to_numpy()
+            order = np.lexsort((doc_np, seg_np))
+            tbl = tbl.take(pa.array(order))
+            seg_sorted = seg_np[order]
+            bounds = np.flatnonzero(np.r_[True, np.diff(seg_sorted) != 0])
+            bounds = np.append(bounds, len(seg_sorted))
+            for i in range(len(bounds) - 1):
+                sub = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                rows.append(process_segment(sub))
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=stats_pa)
 
     return kernel
 
@@ -281,65 +476,23 @@ def build_index(
     src = source.withColumn("seg", (F.col("doc_id") / docs_per_seg).cast("int"))
     todo = src.filter(~F.col("seg").isin(*done)) if done else src
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    tok = tokenize_to_termrows(todo, analyzer, field_name).persist()
-    postings = tok.groupBy("seg").applyInPandas(
-        make_segment_kernel(field_name, shard_postings), schema=POSTINGS_SCHEMA
+    # sha256 JVM-side (codegen); ONE job: raw docs shuffle once keyed by
+    # seg (the DWPT routing). Each task writes its segments' parquet
+    # itself (Lucene DWPT flush) and only the per-segment stats rows
+    # (manifest lineage + metrics, north_rule) travel back — the driver
+    # is O(segments), never O(corpus).
+    content = F.coalesce(F.col(field_name), F.lit(""))
+    prepared = todo.select(
+        "seg", "doc_id", "repo", "path", "commit", "lang",
+        F.sha2(content, 256).alias("sha256"),
+        content.alias(field_name),
     )
-    # sorted-by-term within each segment file -> parquet row-group stats
-    # give term-predicate pushdown at query time (SURVEY.md §4.1)
-    postings.sortWithinPartitions("term").write.mode("overwrite").partitionBy("seg").parquet(
-        os.path.join(index_dir, "postings")
+    stats = prepared.repartition("seg").mapInArrow(
+        make_segment_writer(index_dir, analyzer, field_name, shard_postings),
+        schema=STATS_SCHEMA,
     )
-
-    # left join so zero-token docs keep a docmeta row (dl=0, norm 0) —
-    # docCount counts docs that have the field, like the oracle
-    tokagg = tok.groupBy("doc_id").agg(
-        F.first("dl").alias("dl"), F.first("norm").alias("norm_byte")
-    )
-    docmeta = (
-        todo.select(
-            "seg", "doc_id", "repo", "path", "commit", "lang",
-            F.sha2(F.col(field_name), 256).alias("sha256"),
-        )
-        .join(tokagg, "doc_id", "left")
-        .select(
-            "seg", "doc_id", "repo", "path", "commit", "lang",
-            F.coalesce("dl", F.lit(0)).alias("dl"),
-            F.coalesce("norm_byte", F.lit(0)).alias("norm_byte"),
-            "sha256",
-        )
-    )
-    docmeta.write.mode("overwrite").partitionBy("seg").parquet(os.path.join(index_dir, "docmeta"))
-
-    # per-segment metrics + lineage fingerprint (north_rule: per-partition
-    # lineage + doc/term-count metrics in the checkpoint)
-    dm = spark.read.parquet(os.path.join(index_dir, "docmeta"))
-    new_segs = sorted(set(r["seg"] for r in todo.select("seg").distinct().collect()) - done)
-    pstats = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .filter(F.col("seg").isin(*new_segs) if new_segs else F.lit(False))
-        .groupBy("seg")
-        .agg(
-            F.count_distinct("term").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-        )
-    )
-    dstats = (
-        dm.filter(F.col("seg").isin(*new_segs) if new_segs else F.lit(False))
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("doc_base"),
-            F.sum("dl").alias("sum_dl"),
-            F.expr(
-                "bit_xor(cast(conv(substring(sha256, 1, 15), 16, 10) as bigint))"
-            ).alias("fp_sum"),
-        )
-    )
-    seg_rows = {r["seg"]: r.asDict() for r in dstats.join(pstats, "seg", "left").collect()}
-    tok.unpersist()
+    seg_rows = {r["seg"]: r.asDict() for r in stats.collect()}
+    new_segs = sorted(set(seg_rows) - done)
 
     segments = list(prev.segments) if prev else []
     for seg in new_segs:

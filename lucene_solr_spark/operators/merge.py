@@ -35,12 +35,17 @@ import pandas as pd
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.varint import decode_varint, delta_encode, encode_varint
+from ..functions.postings import (
+    decode_docs,
+    decode_norms,
+    decode_positions_concat,
+    decode_tfs,
+    encode_posting_list,
+)
 from .build import (
     DEFAULT_SHARD_POSTINGS,
     Manifest,
     POSTINGS_SCHEMA,
-    _build_blocks,
     commit_manifest,
     read_manifest,
 )
@@ -86,44 +91,41 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
     merge of each term's posting rows across source segments."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {c: [] for c in ("field", "term", "term_bucket", "seg", "shard",
-                               "df", "cum_tf", "max_tf", "min_norm", "blocks",
-                               "first_doc_key")}
+        from .build import _POSTING_COLS
+
+        out = {c: [] for c in _POSTING_COLS + ["seg", "first_doc_key"]}
         pdf = pdf.assign(_ord=pdf["seg"].map(seg_order))
         pdf = pdf.sort_values(["term", "_ord", "shard"], kind="mergesort")
         for term, g in pdf.groupby("term", sort=False):
             # doc ranges of source segs are disjoint and _ord-sorted, so
-            # concatenating decoded blocks in seg order IS the doc-sorted
-            # merge; then re-block at 128
-            docs_parts, tfs_parts, norms_parts, pos_parts = [], [], [], []
-            for blocks in g["blocks"]:
-                for b in blocks:
-                    d = np.cumsum(decode_varint(b["docs"]))
-                    t = decode_varint(b["tfs"])
-                    docs_parts.append(d)
-                    tfs_parts.append(t)
-                    norms_parts.append(np.frombuffer(b["norms"], dtype=np.uint8))
-                    pos_parts.append((b["pos"], t))
-            docs = np.concatenate(docs_parts)
-            tfs = np.concatenate(tfs_parts)
-            norms = np.concatenate(norms_parts).astype(np.int64)
-            pos_lists: List[np.ndarray] = []
-            for blob, t in pos_parts:
-                deltas = decode_varint(blob)
-                csum = np.cumsum(deltas)
-                bounds = np.cumsum(t)
-                starts = np.r_[0, bounds[:-1]]
-                carry_vals = np.zeros(len(t), dtype=np.int64)
-                if len(t) > 1:
-                    carry_vals[1:] = csum[bounds[:-1] - 1]
-                absolute = csum - np.repeat(carry_vals, t)
-                pos_lists.extend(absolute[s:e] for s, e in zip(starts, bounds))
+            # concatenating decoded rows in seg order IS the doc-sorted
+            # merge; then re-encode (re-blocked at 128)
+            rows = g.to_dict("records")
+            docs = np.concatenate([decode_docs(r) for r in rows])
+            tfs = np.concatenate([decode_tfs(r) for r in rows])
+            norms = np.concatenate([decode_norms(r) for r in rows]).astype(np.int64)
+            pos_concat = np.concatenate([
+                decode_positions_concat(r, decode_tfs(r)) for r in rows
+            ]) if int(tfs.sum()) else np.empty(0, np.int64)
+            # re-delta positions: absolute at each posting start
+            bounds = np.cumsum(tfs)
+            starts = np.zeros(len(tfs), dtype=np.int64)
+            starts[1:] = bounds[:-1]
+            pos_delta = np.empty(len(pos_concat), dtype=np.int64)
+            if len(pos_concat):
+                pos_delta[0] = pos_concat[0]
+                np.subtract(pos_concat[1:], pos_concat[:-1], out=pos_delta[1:])
+                pos_delta[starts] = pos_concat[starts]
             row0 = g.iloc[0]
             n = len(docs)
             for shard_idx, s in enumerate(range(0, n, shard_postings)):
                 e = min(s + shard_postings, n)
-                blocks = _build_blocks(docs[s:e], tfs[s:e], norms[s:e],
-                                       [p for p in pos_lists[s:e]])
+                p_lo = bounds[s - 1] if s else 0
+                p_hi = bounds[e - 1]
+                enc = encode_posting_list(
+                    docs[s:e], tfs[s:e], norms[s:e],
+                    pos_delta[p_lo:p_hi], bounds[s:e] - p_lo,
+                )
                 out["field"].append(row0["field"])
                 out["term"].append(term)
                 out["term_bucket"].append(int(row0["term_bucket"]))
@@ -133,7 +135,8 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
                 out["cum_tf"].append(int(tfs[s:e].sum()))
                 out["max_tf"].append(int(tfs[s:e].max()))
                 out["min_norm"].append(int(norms[s:e].min()))
-                out["blocks"].append(blocks)
+                for k, v in enc.items():
+                    out[k].append(v)
                 out["first_doc_key"].append(int(docs[s]))
         return pd.DataFrame(out)
 

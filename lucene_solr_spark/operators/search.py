@@ -39,60 +39,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import K1, idf as idf_fn, norm_cache, score_tf, term_weight
-from ..functions.varint import decode_varint
+from ..functions.postings import (
+    decode_block_docs,
+    decode_docs,
+    decode_norms,
+    decode_positions_concat,
+    decode_tfs,
+    split_positions,
+)
 from ..plans.query import (
     BooleanQuery,
+    ConstantScoreQuery,
     MatchAllQuery,
+    MultiTermQuery,
     PhraseQuery,
     Query,
     TermQuery,
+    expand_multiterm,
     parse_query,
     query_terms,
+    rewrite,
+    wildcard_to_regex,
 )
 from .build import Manifest, _term_bucket_py, read_manifest
 
 RESULT_SCHEMA = "seg int, doc_id long, score float, seg_hits long"
 
 
-# ----------------------------------------------------------- block decode
-
-
-def _decode_docs(block) -> np.ndarray:
-    return np.cumsum(decode_varint(block["docs"]))
-
-
-def _decode_tfs(block) -> np.ndarray:
-    return decode_varint(block["tfs"])
-
-
-def _decode_norms(block) -> np.ndarray:
-    return np.frombuffer(block["norms"], dtype=np.uint8)
-
-
-def _decode_positions(block, tfs: np.ndarray) -> List[np.ndarray]:
-    """pos blob -> list of absolute position arrays, one per doc."""
-    deltas = decode_varint(block["pos"])
-    if deltas.size == 0:
-        return [np.empty(0, np.int64) for _ in tfs]
-    csum = np.cumsum(deltas)
-    bounds = np.cumsum(tfs)
-    starts = np.empty(len(tfs), dtype=np.int64)
-    starts[0] = 0
-    starts[1:] = bounds[:-1]
-    # segmented cumsum: subtract the carry before each doc's first delta
-    carry = np.zeros(len(deltas), dtype=np.int64)
-    carry_vals = np.zeros(len(tfs), dtype=np.int64)
-    carry_vals[1:] = csum[bounds[:-1] - 1]
-    carry = np.repeat(carry_vals, tfs)
-    absolute = csum - carry
-    return [absolute[s:e] for s, e in zip(starts, bounds)]
+# ------------------------------------------------------------ row decode
 
 
 @dataclass
 class _TermPostings:
-    """Decoded (lazily, per level) postings of one term within one segment."""
+    """Decoded (lazily, per level) postings of one term within one
+    segment. ``rows`` are flat v3 posting rows (functions/postings.py),
+    shard-ordered == doc-ordered."""
 
-    blocks: List[dict]  # raw block structs, shard-concatenated in doc order
+    rows: List[dict]
     max_tf: int
     min_norm: int
     _docs: Optional[np.ndarray] = None
@@ -103,20 +86,20 @@ class _TermPostings:
     def docs(self) -> np.ndarray:
         if self._docs is None:
             self._docs = (
-                np.concatenate([_decode_docs(b) for b in self.blocks])
-                if self.blocks else np.empty(0, np.int64)
+                np.concatenate([decode_docs(r) for r in self.rows])
+                if self.rows else np.empty(0, np.int64)
             )
         return self._docs
 
     def decode_scoring(self) -> None:
         if self._tfs is None:
             self._tfs = (
-                np.concatenate([_decode_tfs(b) for b in self.blocks])
-                if self.blocks else np.empty(0, np.int64)
+                np.concatenate([decode_tfs(r) for r in self.rows])
+                if self.rows else np.empty(0, np.int64)
             )
             self._norms = (
-                np.concatenate([_decode_norms(b) for b in self.blocks])
-                if self.blocks else np.empty(0, np.uint8)
+                np.concatenate([decode_norms(r) for r in self.rows])
+                if self.rows else np.empty(0, np.uint8)
             )
 
     @property
@@ -131,22 +114,28 @@ class _TermPostings:
 
     def positions(self) -> List[np.ndarray]:
         out: List[np.ndarray] = []
-        for b in self.blocks:
-            out.extend(_decode_positions(b, _decode_tfs(b)))
+        for r in self.rows:
+            tfs = decode_tfs(r)
+            out.extend(split_positions(decode_positions_concat(r, tfs), tfs))
         return out
+
+    def iter_blocks(self):
+        """-> (row, i, first_doc, last_doc, max_tf, min_norm) per block."""
+        for r in self.rows:
+            for i in range(len(r["blk_n"])):
+                yield (r, i, int(r["blk_first"][i]), int(r["blk_last"][i]),
+                       int(r["blk_max_tf"][i]), int(r["blk_min_norm"][i]))
 
 
 def _assemble_terms(pdf: pd.DataFrame) -> Dict[str, _TermPostings]:
-    """Posting rows of one segment -> per-term block lists (shards
+    """Posting rows of one segment -> per-term row lists (shards
     concatenated in shard order == doc order)."""
     out: Dict[str, _TermPostings] = {}
     pdf = pdf.sort_values(["term", "shard"], kind="mergesort")
     for term, g in pdf.groupby("term", sort=False):
-        blocks: List[dict] = []
-        for row_blocks in g["blocks"]:
-            blocks.extend(row_blocks)
+        rows = list(g.to_dict("records"))
         out[term] = _TermPostings(
-            blocks=blocks,
+            rows=rows,
             max_tf=int(g["max_tf"].max()),
             min_norm=int(g["min_norm"].min()),
         )
@@ -181,17 +170,21 @@ class _SegmentScorer:
         self.doc_base = doc_base
         self.phrase_weights = phrase_weights
 
-    def term_scores(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
+    def term_scores(self, term: str, boost: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
         tp = self.terms.get(term)
-        if tp is None or term not in self.weights:
+        key = (term, boost)
+        if tp is None or key not in self.weights:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        return tp.docs, score_tf(self.weights[term], tp.tfs, tp.norms, self.cache)
+        return tp.docs, score_tf(self.weights[key], tp.tfs, tp.norms, self.cache)
 
     def eval(self, q: Query) -> Tuple[np.ndarray, np.ndarray]:
         """-> (docs sorted asc, float32 scores). Summation order matches
         the oracle: must clauses then should clauses, in query order."""
         if isinstance(q, TermQuery):
-            return self.term_scores(q.term)
+            return self.term_scores(q.term, q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            d, _ = self.eval(q.query)
+            return d, np.full(len(d), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, MatchAllQuery):
             base, n = self.doc_base.get(self.seg, (0, 0))
             docs = np.arange(base, base + n, dtype=np.int64)
@@ -292,9 +285,7 @@ def make_query_kernel(query: Query, weights: Dict[str, np.float32],
             and all(isinstance(c, TermQuery) for c in query.should))
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({c: [] for c in ("seg", "doc_id", "score", "seg_hits")})
+    def one_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["seg"].iloc[0])
         # MatchAll carrier rows (right-join) have null term columns
         terms = _assemble_terms(pdf[pdf["term"].notna()])
@@ -311,6 +302,19 @@ def make_query_kernel(query: Query, weights: Dict[str, np.float32],
             "score": scores.astype(np.float32),
             "seg_hits": np.full(len(docs), n_hits, dtype=np.int64),
         })
+
+    def kernel(it):
+        """mapInPandas over seg-partitioned rows: ONE kernel dispatch
+        per task, segments grouped in pandas — 586 tiny applyInPandas
+        groups would pay 586 Arrow round-trips instead. A query's
+        filtered posting rows are bounded (terms x segs x shards), so
+        concatenating a partition is safe."""
+        batches = [b for b in it if len(b)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+        for _, g in pdf.groupby("seg", sort=False):
+            yield one_segment(g)
 
     return kernel
 
@@ -329,50 +333,50 @@ def _maxscore_disjunction(query: Query, scorer: _SegmentScorer, k: int):
     computed EXACTLY (all terms contribute), so ranking is identical to
     the exhaustive scorer.
     """
-    qterms = [query.term] if isinstance(query, TermQuery) else [c.term for c in query.should]
+    qterms = ([(query.term, query.boost)] if isinstance(query, TermQuery)
+              else [(c.term, c.boost) for c in query.should])
     qterms = [t for t in dict.fromkeys(qterms)]
-    present = [t for t in qterms if t in scorer.terms and t in scorer.weights]
+    present = [tb for tb in qterms if tb[0] in scorer.terms and tb in scorer.weights]
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float32), 0
 
     # segment-level upper bounds from stored impacts
     ubs = {}
-    for t in present:
-        tp = scorer.terms[t]
-        w = scorer.weights[t]
+    for tb in present:
+        tp = scorer.terms[tb[0]]
+        w = scorer.weights[tb]
         c_min = scorer.cache[tp.min_norm]
         tf = np.float32(tp.max_tf)
-        ubs[t] = float((np.float32(w) * tf) / (tf + c_min))
+        ubs[tb] = float((np.float32(w) * tf) / (tf + c_min))
 
     # theta: kth best single-term contribution of the strongest term
-    t_best = max(present, key=lambda t: ubs[t])
-    d0, s0 = scorer.term_scores(t_best)
+    t_best = max(present, key=lambda tb: ubs[tb])
+    d0, s0 = scorer.term_scores(*t_best)
     theta = float(np.partition(s0, len(s0) - k)[len(s0) - k]) if len(s0) >= k else 0.0
 
-    order_desc = sorted(present, key=lambda t: -ubs[t])
-    essential: List[str] = []
+    order_desc = sorted(present, key=lambda tb: -ubs[tb])
+    essential: List[tuple] = []
     tail = 0.0
-    for t in reversed(order_desc):  # ascending ub
-        if tail + ubs[t] < theta and t != t_best:
-            tail += ubs[t]
+    for tb in reversed(order_desc):  # ascending ub
+        if tail + ubs[tb] < theta and tb != t_best:
+            tail += ubs[tb]
         else:
-            essential.append(t)
-    non_essential = [t for t in present if t not in essential]
+            essential.append(tb)
 
     # candidates: docs from surviving blocks of essential terms
     cand_parts = []
-    for t in essential:
-        tp = scorer.terms[t]
-        other = sum(ubs[o] for o in present if o != t)
-        w = scorer.weights[t]
-        keep_blocks = []
-        for b in tp.blocks:
-            tf = np.float32(b["max_tf"])
-            block_ub = float((np.float32(w) * tf) / (tf + scorer.cache[b["min_norm"]]))
+    for tb in essential:
+        tp = scorer.terms[tb[0]]
+        other = sum(ubs[o] for o in present if o != tb)
+        w = scorer.weights[tb]
+        keep: List[np.ndarray] = []
+        for (row, i, _fd, _ld, b_max_tf, b_min_norm) in tp.iter_blocks():
+            tf = np.float32(b_max_tf)
+            block_ub = float((np.float32(w) * tf) / (tf + scorer.cache[b_min_norm]))
             if block_ub + other >= theta:
-                keep_blocks.append(b)
-        if keep_blocks:
-            cand_parts.append(np.concatenate([_decode_docs(b) for b in keep_blocks]))
+                keep.append(decode_block_docs(row, i))
+        if keep:
+            cand_parts.append(np.concatenate(keep))
     if cand_parts:
         cand = np.unique(np.concatenate(cand_parts))
     else:
@@ -381,14 +385,14 @@ def _maxscore_disjunction(query: Query, scorer: _SegmentScorer, k: int):
     # exact scores for candidates, accumulated in ORIGINAL query-term
     # order so float32 summation matches the exhaustive path/oracle
     acc = np.zeros(len(cand), dtype=np.float32)
-    for t in qterms:
-        if t not in scorer.terms or t not in scorer.weights:
+    for tb in qterms:
+        if tb[0] not in scorer.terms or tb not in scorer.weights:
             continue
-        d, s = scorer.term_scores(t)
+        d, s = scorer.term_scores(*tb)
         acc += _lookup(d, s, cand)
 
     # exact hit count: union over ALL terms' doc lists (docs decode only)
-    all_docs = [scorer.terms[t].docs for t in present]
+    all_docs = [scorer.terms[tb[0]].docs for tb in present]
     n_hits = len(np.unique(np.concatenate(all_docs))) if all_docs else 0
 
     docs, scores = _top_k(cand, acc, k)
@@ -442,14 +446,20 @@ class IndexReader:
     def _weights(self, q: Query, classic_k1p1: bool = False):
         terms = [t for _, t in query_terms(q)]
         dfs = self.global_dfs(terms)
-        weights = {
-            t: term_weight(dfs[t], self.doc_count, 1.0, classic_k1p1)
-            for t in terms if t in dfs
-        }
+        weights: Dict[Tuple[str, float], np.float32] = {}
         phrase_weights: Dict[Tuple[str, ...], np.float32] = {}
 
         def walk(node: Query):
-            if isinstance(node, PhraseQuery):
+            if isinstance(node, TermQuery):
+                if node.term in dfs:
+                    weights.setdefault(
+                        (node.term, node.boost),
+                        term_weight(dfs[node.term], self.doc_count,
+                                    node.boost, classic_k1p1),
+                    )
+            elif isinstance(node, ConstantScoreQuery):
+                walk(node.query)
+            elif isinstance(node, PhraseQuery):
                 w = node.boost * sum(
                     idf_fn(dfs.get(t, 0), self.doc_count) for t in node.terms
                 )
@@ -463,6 +473,51 @@ class IndexReader:
         walk(q)
         return weights, phrase_weights
 
+    # -- multi-term expansion (`[U] .../search/MultiTermQuery.java ::
+    # RewriteMethod`): the term-dict scan is a Catalyst-pushed filter
+    # over the postings parquet; only matching TERMS (not postings)
+    # reach the driver.
+    def _expand(self, q: Query) -> Query:
+        if isinstance(q, MultiTermQuery):
+            return expand_multiterm(q, self._matching_terms(q))
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self._expand(q.query), q.boost)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                should=tuple(self._expand(c) for c in q.should),
+                must=tuple(self._expand(c) for c in q.must),
+                must_not=tuple(self._expand(c) for c in q.must_not),
+            )
+        return q
+
+    def _matching_terms(self, mq: MultiTermQuery) -> List[str]:
+        t = F.col("term")
+        if mq.kind == "prefix":
+            cond = t.startswith(mq.pattern)
+        elif mq.kind == "wildcard":
+            cond = t.rlike("^(?:" + wildcard_to_regex(mq.pattern) + ")$")
+        elif mq.kind == "regexp":
+            # common Java/Python regex subset; anchored like Lucene's
+            # RegexpQuery full-term match
+            cond = t.rlike("^(?:" + mq.pattern + ")$")
+        elif mq.kind == "range":
+            cond = F.lit(True)
+            if mq.lo:
+                cond = cond & (t >= mq.lo if mq.include_lo else t > mq.lo)
+            if mq.hi:
+                cond = cond & (t <= mq.hi if mq.include_hi else t < mq.hi)
+        elif mq.kind == "fuzzy":
+            n = len(mq.pattern)
+            cond = (
+                (F.length(t) >= n - mq.max_edits)
+                & (F.length(t) <= n + mq.max_edits)
+                & (F.levenshtein(t, F.lit(mq.pattern)) <= mq.max_edits)
+            )
+        else:
+            raise ValueError(f"unknown multiterm kind {mq.kind!r}")
+        return [r["term"] for r in
+                self.postings.filter(cond).select("term").distinct().collect()]
+
     # -- search
     def search(self, query: str | Query, k: int = 10, prune: str = "maxscore",
                analyzer: Optional[str] = None) -> DataFrame:
@@ -473,6 +528,7 @@ class IndexReader:
         """
         q = parse_query(query, analyzer=analyzer or self.manifest.analyzer) \
             if isinstance(query, str) else query
+        q = rewrite(self._expand(q))
         per_seg = self._per_segment(q, k, prune)
         return (
             per_seg.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -484,6 +540,7 @@ class IndexReader:
                           prune: str = "maxscore") -> Tuple[List[Tuple[int, float]], int]:
         """TopDocs equivalent: ([(doc_id, score)], exact total_hits)."""
         q = parse_query(query, analyzer=self.manifest.analyzer) if isinstance(query, str) else query
+        q = rewrite(self._expand(q))
         per_seg = self._per_segment(q, k, prune).cache()
         try:
             top = (
@@ -518,7 +575,12 @@ class IndexReader:
                 [(s,) for s in self.manifest.seg_ids], "seg int"
             )
             src = src.join(carrier, "seg", "right")
-        return src.groupBy("seg").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        # co-locate each segment's rows (correctness: a doc's clause
+        # scores sum within one kernel), then one streamed kernel per
+        # task instead of one per segment
+        n_parts = max(1, min(len(self.manifest.seg_ids),
+                             self.spark.sparkContext.defaultParallelism))
+        return src.repartition(n_parts, "seg").mapInPandas(kernel, schema=RESULT_SCHEMA)
 
     def count(self, query: str | Query) -> int:
         _, total = self.search_with_total(query, k=1)
@@ -532,6 +594,8 @@ class IndexReader:
 def _contains_matchall(q: Query) -> bool:
     if isinstance(q, MatchAllQuery):
         return True
+    if isinstance(q, ConstantScoreQuery):
+        return _contains_matchall(q.query)
     if isinstance(q, BooleanQuery):
         return any(_contains_matchall(c) for c in q.should + q.must + q.must_not)
     return False

@@ -18,7 +18,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.varint import decode_varint
+from ..functions.postings import (
+    decode_docs,
+    decode_norms,
+    decode_positions_concat,
+    decode_tfs,
+)
 from .build import read_manifest
 
 CHECK_SCHEMA = (
@@ -35,42 +40,47 @@ def _check_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         try:
             g = g.sort_values("shard")
             last_doc = -1
-            for _, row in g.iterrows():
-                for b in row["blocks"]:
-                    docs = np.cumsum(decode_varint(b["docs"]))
-                    tfs = decode_varint(b["tfs"])
-                    norms = np.frombuffer(b["norms"], dtype=np.uint8)
-                    n = len(docs)
-                    if not (n == b["n"] == len(tfs) == len(norms)):
-                        ok, problem = False, "length mismatch"
-                        break
-                    if docs[0] <= last_doc:
-                        ok, problem = False, "doc order violation across blocks"
-                        break
-                    if not (docs[0] == b["first_doc"] and docs[-1] == b["last_doc"]):
-                        ok, problem = False, "block bounds mismatch"
-                        break
-                    if n > 1 and not (np.diff(docs) > 0).all():
-                        ok, problem = False, "docs not strictly increasing"
-                        break
-                    if (tfs < 1).any():
-                        ok, problem = False, "tf < 1"
-                        break
-                    if int(tfs.max()) > row["max_tf"] or int(norms.min()) < row["min_norm"]:
-                        ok, problem = False, "impact bound violation"
-                        break
-                    if int(tfs.max()) != b["max_tf"] or int(norms.min()) != b["min_norm"]:
-                        ok, problem = False, "block impact mismatch"
-                        break
-                    pos = decode_varint(b["pos"])
-                    if len(pos) != int(tfs.sum()):
-                        ok, problem = False, "positions length mismatch"
-                        break
-                    last_doc = int(docs[-1])
-                    df_total += n
-                    cum_tf += int(tfs.sum())
-                if not ok:
+            for row in g.to_dict("records"):
+                docs = decode_docs(row)
+                tfs = decode_tfs(row)
+                norms = decode_norms(row)
+                n = len(docs)
+                blk_n = np.asarray(row["blk_n"], dtype=np.int64)
+                if not (n == int(blk_n.sum()) == len(tfs) == len(norms) == row["df"]):
+                    ok, problem = False, "length mismatch"
                     break
+                if docs[0] <= last_doc:
+                    ok, problem = False, "doc order violation across shards"
+                    break
+                if n > 1 and not (np.diff(docs) > 0).all():
+                    ok, problem = False, "docs not strictly increasing"
+                    break
+                if (tfs < 1).any():
+                    ok, problem = False, "tf < 1"
+                    break
+                if int(tfs.max()) > row["max_tf"] or int(norms.min()) < row["min_norm"]:
+                    ok, problem = False, "impact bound violation"
+                    break
+                # per-block metadata vs decoded streams
+                bstart = np.zeros(len(blk_n), dtype=np.int64)
+                bstart[1:] = np.cumsum(blk_n)[:-1]
+                bend = np.cumsum(blk_n)
+                if not (
+                    (docs[bstart] == np.asarray(row["blk_first"])).all()
+                    and (docs[bend - 1] == np.asarray(row["blk_last"])).all()
+                    and (np.maximum.reduceat(tfs, bstart) == np.asarray(row["blk_max_tf"])).all()
+                    and (np.minimum.reduceat(norms, bstart).astype(np.int64)
+                         == np.asarray(row["blk_min_norm"], dtype=np.int64)).all()
+                ):
+                    ok, problem = False, "block metadata mismatch"
+                    break
+                pos = decode_positions_concat(row, tfs)
+                if len(pos) != int(tfs.sum()):
+                    ok, problem = False, "positions length mismatch"
+                    break
+                last_doc = int(docs[-1])
+                df_total += n
+                cum_tf += int(tfs.sum())
             if ok:
                 if df_total != int(g["df"].sum()) or cum_tf != int(g["cum_tf"].sum()):
                     ok, problem = False, "df/cum_tf mismatch"

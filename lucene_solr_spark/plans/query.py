@@ -37,9 +37,15 @@ __all__ = [
     "PhraseQuery",
     "BooleanQuery",
     "MatchAllQuery",
+    "ConstantScoreQuery",
+    "MultiTermQuery",
     "parse_query",
     "rewrite",
     "query_terms",
+    "expand_multiterm",
+    "multiterm_predicate",
+    "wildcard_to_regex",
+    "levenshtein",
 ]
 
 DEFAULT_FIELD = "content"
@@ -72,7 +78,112 @@ class BooleanQuery:
     must_not: Tuple["Query", ...] = field(default=())
 
 
-Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery]
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """All docs matching ``query`` score exactly ``boost``
+    (`[U] .../search/ConstantScoreQuery.java`; also the default
+    CONSTANT_SCORE rewrite target of MultiTermQuery)."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MultiTermQuery:
+    """Term-dict-expanded query (`[U] .../search/MultiTermQuery.java`):
+    prefix / wildcard / regexp / range rewrite to a CONSTANT-SCORE
+    union of matching terms; fuzzy rewrites to a SCORED disjunction of
+    the ``max_expansions`` nearest terms ordered by (edit distance,
+    term) — deterministic stand-in for Lucene's blended top-terms
+    rewrite, mirrored exactly by the test oracle."""
+
+    kind: str                 # prefix | wildcard | regexp | fuzzy | range
+    pattern: str = ""         # prefix text / wildcard / regex / fuzzy term
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+    max_edits: int = 2
+    max_expansions: int = 50
+    lo: str = ""              # range bounds ("" == open)
+    hi: str = ""
+    include_lo: bool = True
+    include_hi: bool = True
+
+
+Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery,
+              ConstantScoreQuery, MultiTermQuery]
+
+
+# ------------------------------------------------- multi-term expansion
+
+def wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def levenshtein(a: str, b: str, cap: int = 8) -> int:
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def multiterm_predicate(q: MultiTermQuery):
+    """-> term -> bool, the Python-side term-dict matcher (the oracle's
+    expansion; the engine pushes the equivalent filter into the
+    postings scan — see IndexReader._expand)."""
+    if q.kind == "prefix":
+        return lambda t: t.startswith(q.pattern)
+    if q.kind == "wildcard":
+        rx = re.compile(wildcard_to_regex(q.pattern))
+        return lambda t: rx.fullmatch(t) is not None
+    if q.kind == "regexp":
+        rx = re.compile(q.pattern)
+        return lambda t: rx.fullmatch(t) is not None
+    if q.kind == "fuzzy":
+        return lambda t: levenshtein(t, q.pattern) <= q.max_edits
+    if q.kind == "range":
+        def pred(t: str) -> bool:
+            if q.lo:
+                if t < q.lo or (t == q.lo and not q.include_lo):
+                    return False
+            if q.hi:
+                if t > q.hi or (t == q.hi and not q.include_hi):
+                    return False
+            return True
+        return pred
+    raise ValueError(f"unknown multiterm kind {q.kind!r}")
+
+
+def expand_multiterm(q: MultiTermQuery, matching_terms: List[str]) -> "Query":
+    """Matching terms -> replacement query. BOTH the engine and the
+    oracle build the replacement through this one function, so the
+    float32 summation order (sorted terms) is identical by
+    construction."""
+    if q.kind == "fuzzy":
+        ranked = sorted(matching_terms, key=lambda t: (levenshtein(t, q.pattern), t))
+        chosen = ranked[: q.max_expansions]
+        if not chosen:
+            return BooleanQuery()
+        return rewrite(BooleanQuery(
+            should=tuple(TermQuery(t, q.field, q.boost) for t in sorted(chosen))
+        ))
+    terms = sorted(matching_terms)
+    if not terms:
+        return BooleanQuery()
+    inner = rewrite(BooleanQuery(should=tuple(TermQuery(t, q.field) for t in terms)))
+    return ConstantScoreQuery(inner, q.boost)
 
 
 # ---------------------------------------------------------------- parser
@@ -80,10 +191,12 @@ Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery]
 _TOKEN_SPEC = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<regex>/(?:[^/\\\s]|\\.)+/) |
+        (?P<lbracket>[\[\{]) | (?P<rbracket>[\]\}]) |
         (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b|-) |
         (?P<phrase>"[^"]*") |
         (?P<fieldname>[A-Za-z_][A-Za-z0-9_]*(?=:)) | (?P<colon>:) |
-        (?P<word>[^\s()":]+)
+        (?P<word>[^\s()":\[\]{}]+)
     )""",
     re.VERBOSE,
 )
@@ -136,7 +249,8 @@ class _Parser:
                 self.lex.next()
                 explicit_or = True
                 clauses.append(self._and_expr(fld))
-            elif kind in ("lparen", "phrase", "fieldname", "word", "not"):
+            elif kind in ("lparen", "phrase", "fieldname", "word", "not",
+                          "regex", "lbracket"):
                 # implicit operator: default OR (classic QueryParser default)
                 clauses.append(self._and_expr(fld))
             else:
@@ -187,24 +301,79 @@ class _Parser:
             assert colon[0] == "colon"
             return self._atom(val)
         if kind == "phrase":
+            boost = self._trailing_boost()
             terms = tuple(tokenize(val.strip('"'), self.analyzer))
             if not terms:
                 return MatchAllQuery()
             if len(terms) == 1:
-                return TermQuery(terms[0], fld)
-            return PhraseQuery(terms, fld)
+                return TermQuery(terms[0], fld, boost)
+            return PhraseQuery(terms, fld, boost)
+        if kind == "regex":
+            return MultiTermQuery("regexp", val[1:-1], fld, self._trailing_boost())
+        if kind == "lbracket":
+            return self._range(fld, include_lo=(val == "["))
         if kind == "word":
             if val == "*" or val == "*:*":
                 return MatchAllQuery()
+            val, boost = _split_boost(val)
+            # multi-term syntax (expanded against the term dict at
+            # search time; text is lowercased, NOT analyzed, like the
+            # classic parser's wildcard handling)
+            m = re.fullmatch(r"(.+?)~(\d*)", val)
+            if m and "*" not in val and "?" not in val:
+                edits = int(m.group(2)) if m.group(2) else 2
+                return MultiTermQuery("fuzzy", m.group(1).lower(), fld,
+                                      boost, max_edits=min(edits, 2))
+            if len(val) > 2 and val.startswith("/") and val.endswith("/"):
+                return MultiTermQuery("regexp", val[1:-1], fld, boost)
+            if "*" in val or "?" in val:
+                if val.endswith("*") and "?" not in val and "*" not in val[:-1]:
+                    return MultiTermQuery("prefix", val[:-1].lower(), fld, boost)
+                return MultiTermQuery("wildcard", val.lower(), fld, boost)
             toks = tokenize(val, self.analyzer)
             if not toks:
                 return MatchAllQuery()  # analyzes to nothing -> matches nothing scored; rewrite below
             if len(toks) == 1:
-                return TermQuery(toks[0], fld)
+                return TermQuery(toks[0], fld, boost)
             # a single word that analyzes to multiple tokens (e.g. "3.14x")
             # becomes a SHOULD group, like the classic parser's behavior
-            return BooleanQuery(should=tuple(TermQuery(t, fld) for t in toks))
+            return BooleanQuery(should=tuple(TermQuery(t, fld, boost) for t in toks))
         raise ValueError(f"unexpected token ({kind}, {val!r})")
+
+    def _range(self, fld: str, include_lo: bool) -> "MultiTermQuery":
+        kind, lo = self.lex.next()
+        if kind != "word":
+            raise ValueError("range: expected lower bound")
+        kind, to = self.lex.next()
+        if kind != "word" or to.upper() != "TO":
+            raise ValueError("range: expected TO")
+        kind, hi = self.lex.next()
+        if kind != "word":
+            raise ValueError("range: expected upper bound")
+        kind, rb = self.lex.next()
+        if kind != "rbracket":
+            raise ValueError("range: expected ] or }")
+        return MultiTermQuery(
+            "range", field=fld,
+            lo="" if lo == "*" else lo.lower(),
+            hi="" if hi == "*" else hi.lower(),
+            include_lo=include_lo, include_hi=(rb == "]"),
+        )
+
+
+    def _trailing_boost(self) -> float:
+        kind, val = self.lex.peek()
+        if kind == "word" and val.startswith("^"):
+            self.lex.next()
+            return float(val[1:])
+        return 1.0
+
+
+def _split_boost(val: str) -> Tuple[str, float]:
+    m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", val)
+    if m:
+        return m.group(1), float(m.group(2))
+    return val, 1.0
 
 
 @dataclass(frozen=True)
@@ -228,6 +397,8 @@ def parse_query(text: str, default_field: str = DEFAULT_FIELD, analyzer: str = "
 def rewrite(q: Query) -> Query:
     """BooleanQuery simplification pass (single-clause unwrap, flatten,
     dedup) mirroring `[U] .../search/BooleanQuery.java :: rewrite`."""
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(rewrite(q.query), q.boost)
     if not isinstance(q, BooleanQuery):
         return q
     should = [rewrite(c) for c in q.should]
@@ -278,6 +449,11 @@ def query_terms(q: Query) -> List[Tuple[str, str]]:
             out.append((node.field, node.term))
         elif isinstance(node, PhraseQuery):
             out.extend((node.field, t) for t in node.terms)
+        elif isinstance(node, ConstantScoreQuery):
+            walk(node.query)
+        elif isinstance(node, MultiTermQuery):
+            raise ValueError("MultiTermQuery must be expanded before stats "
+                             "(IndexReader handles this; see _expand)")
         elif isinstance(node, BooleanQuery):
             for c in node.should + node.must + node.must_not:
                 walk(c)

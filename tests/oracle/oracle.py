@@ -32,10 +32,14 @@ from lucene_solr_spark.functions.bm25 import (
 from lucene_solr_spark.functions.smallfloat import byte4_to_int, int_to_byte4
 from lucene_solr_spark.plans.query import (
     BooleanQuery,
+    ConstantScoreQuery,
     MatchAllQuery,
+    MultiTermQuery,
     PhraseQuery,
     Query,
     TermQuery,
+    expand_multiterm,
+    multiterm_predicate,
     parse_query,
 )
 
@@ -89,6 +93,12 @@ class OracleIndex:
             return self._phrase_matches(q)
         if isinstance(q, BooleanQuery):
             return self._bool_matches(q)
+        if isinstance(q, ConstantScoreQuery):
+            return {d: np.float32(q.boost) for d in self._matches(q.query)}
+        if isinstance(q, MultiTermQuery):
+            pred = multiterm_predicate(q)
+            terms = [t for t in self.postings if pred(t)]
+            return self._matches(expand_multiterm(q, terms))
         raise TypeError(f"unsupported query {q!r}")
 
     def _phrase_matches(self, q: PhraseQuery) -> Dict[int, np.float32]:

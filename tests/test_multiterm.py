@@ -1,0 +1,101 @@
+"""MultiTermQuery family (prefix/wildcard/fuzzy/regexp/range) + boosts:
+engine must be rank-identical to the exhaustive oracle (SURVEY.md §2.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.build import build_index, read_manifest
+from lucene_solr_spark.operators.search import IndexReader
+from lucene_solr_spark.plans.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    MultiTermQuery,
+    TermQuery,
+    levenshtein,
+    parse_query,
+    wildcard_to_regex,
+)
+from lucene_solr_spark.sources import load_source_table
+from tests.oracle import OracleIndex
+
+QUERIES = [
+    "spark*",
+    "content:merg*",
+    "ident_00?4",
+    "par*ion",
+    "spark~1",
+    "vector~2",
+    "/sp[aeiou]rk/",
+    "[spark TO spars]",
+    "{spark TO spars]",
+    "[* TO aaa]",
+    "spark^2 OR merge",
+    'merge AND spark*',
+    '"batch batch"^3 OR spark',
+    "spark* AND NOT merge",
+]
+
+
+@pytest.fixture(scope="module")
+def idx_pair(spark, sf_dir, tmp_path_factory):
+    corpus = load_source_table(spark, sf_dir).cache()
+    d = str(tmp_path_factory.mktemp("mt") / "idx")
+    build_index(spark, corpus, d, docs_per_seg=128)
+    reader = IndexReader(spark, d)
+    oracle = OracleIndex(
+        [(r["doc_id"], r["content"]) for r in corpus.collect()]
+    )
+    return reader, oracle
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identical_to_oracle(idx_pair, q):
+    reader, oracle = idx_pair
+    expected = oracle.search(q, k=20)
+    got, total = reader.search_with_total(q, k=20)
+    assert [d for d, _ in got] == [d for d, _ in expected.score_docs], q
+    for (gd, gs), (ed, es) in zip(got, expected.score_docs):
+        assert abs(gs - es) < 1e-6, (q, gd, gs, es)
+    assert total == expected.total_hits
+
+
+def test_parser_shapes():
+    q = parse_query("spark*")
+    assert isinstance(q, MultiTermQuery) and q.kind == "prefix" and q.pattern == "spark"
+    q = parse_query("wild?card*")
+    assert q.kind == "wildcard" and q.pattern == "wild?card*"
+    q = parse_query("term~1")
+    assert q.kind == "fuzzy" and q.max_edits == 1 and q.pattern == "term"
+    q = parse_query("/a+b/")
+    assert q.kind == "regexp" and q.pattern == "a+b"
+    q = parse_query("[abc TO def}")
+    assert q.kind == "range" and q.lo == "abc" and q.hi == "def"
+    assert q.include_lo and not q.include_hi
+    q = parse_query("spark^2.5")
+    assert isinstance(q, TermQuery) and q.boost == 2.5
+    q = parse_query('"a phrase"^3')
+    assert q.boost == 3.0
+
+
+def test_wildcard_to_regex():
+    assert wildcard_to_regex("a*b?c.") == "a.*b.c\\."
+
+
+def test_levenshtein():
+    assert levenshtein("spark", "spark") == 0
+    assert levenshtein("spark", "spars") == 1
+    assert levenshtein("spark", "par") == 2
+    assert levenshtein("abc", "xyz") == 3
+
+
+def test_constant_score_semantics(idx_pair):
+    reader, oracle = idx_pair
+    # every hit of a prefix query scores exactly 1.0 (constant-score rewrite)
+    rows = reader.search("spark*", k=50).collect()
+    assert rows and all(abs(r["score"] - 1.0) < 1e-9 for r in rows)
+
+
+def test_empty_expansion_matches_nothing(idx_pair):
+    reader, oracle = idx_pair
+    got, total = reader.search_with_total("zzzznotaterm*", k=10)
+    assert got == [] and total == 0

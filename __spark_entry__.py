@@ -20,16 +20,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lucene_solr_spark.functions import valuesource as vs
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
 from lucene_solr_spark.operators import streamexpr as sx
 from lucene_solr_spark.operators import textproc as tp
 from lucene_solr_spark.operators.build import build_index, read_manifest
+from lucene_solr_spark.plans import query as qp
 from lucene_solr_spark.operators.search import IndexReader
 from lucene_solr_spark.sources import load_documents, load_source_table
 
 WORK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".work")
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 _INDEX_CACHE: dict[tuple, IndexReader] = {}
 
 
@@ -89,6 +91,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_conjunction_topk"] = lambda s, sf: _bm25(s, sf, "spark AND merge AND join")
     q["bm25_mixed_topk"] = lambda s, sf: _bm25(s, sf, "(hash OR scan) AND NOT merge")
     q["bm25_phrase_topk"] = lambda s, sf: _bm25(s, sf, '"batch batch"')
+    q["bm25_prefix_topk"] = lambda s, sf: _bm25(s, sf, "spar*")
+    q["bm25_wildcard_topk"] = lambda s, sf: _bm25(s, sf, "w?ndow")
+    q["bm25_fuzzy_topk"] = lambda s, sf: _bm25(s, sf, "spark~1")
+    q["bm25_range_topk"] = lambda s, sf: _bm25(s, sf, "[spark TO spars]")
+    q["bm25_boost_topk"] = lambda s, sf: _bm25(s, sf, "spark^2 OR merge")
+    q["bm25_dismax_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf).search(
+            qp.DisjunctionMaxQuery(
+                (qp.TermQuery("spark"), qp.TermQuery("merge"), qp.TermQuery("vector")),
+                0.3,
+            ), k=10,
+        )
+    )
+    q["bm25_min_should_match"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf).search(
+            qp.BooleanQuery(
+                should=tuple(qp.TermQuery(t) for t in ("spark", "merge", "vector", "hash")),
+                min_should_match=3,
+            ), k=10,
+        )
+    )
 
     # ---- facets (SURVEY.md §2.6)
     q["facet_field_lang"] = lambda s, sf: sx.facet_field(_docs(s, sf), "lang")
@@ -219,6 +242,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_language_id"] = lambda s, sf: tp.language_id(_docs(s, sf), "text")
     q["text_fingerprint"] = lambda s, sf: tp.doc_fingerprint(_docs(s, sf), "text").select(
         "id", "digest", F.size("fingerprints").alias("n_fp")
+    )
+
+    # ---- function queries (SURVEY.md §2.10 ValueSource library)
+    q["fq_termfreq"] = lambda s, sf: _index_for(s, sf).termfreq("value")
+    q["fq_map_recip_linear"] = lambda s, sf: _t(s, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        vs.map_fn(F.col("l_quantity"), 1, 10, 0.0).alias("mapped"),
+        F.round(vs.recip(F.col("l_quantity"), 1.0, 1000.0, 1.0), 6).alias("recip_q"),
+        F.round(vs.linear(F.col("l_quantity"), 2.0, 5.0), 4).alias("lin_q"),
+    )
+    q["fq_scale"] = lambda s, sf: _t(s, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(vs.scale_fn(_t(s, sf, "lineitem"), F.col("l_extendedprice"), 0.0, 1.0), 6).alias("scaled"),
+    )
+    q["fq_haversine"] = lambda s, sf: _t(s, sf, "customer").select(
+        "c_custkey",
+        F.round(
+            vs.haversine_km(
+                (F.col("c_custkey") % 180) - 90 + F.lit(0.5),
+                (F.col("c_custkey") * 7 % 360) - 180 + F.lit(0.5),
+                F.lit(48.2), F.lit(16.37),
+            ), 3,
+        ).alias("dist_km"),
+    )
+    q["fq_strdist"] = lambda s, sf: _t(s, sf, "customer").select(
+        "c_custkey",
+        F.round(vs.strdist_levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")), 6).alias("sim"),
+    )
+    q["fq_ms_ord"] = lambda s, sf: _t(s, sf, "orders").select(
+        "o_orderkey",
+        vs.ms(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast("long").alias("ms_since"),
+        vs.ord_fn(F.col("o_totalprice")).alias("price_ord"),
     )
 
     # ---- multimodal plumbing (synthetic deterministic media, no table)
@@ -408,6 +463,51 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_pieces,
                    length(text) AS n_chars
             FROM documents
+        """,
+        # termfreq from the INDEX must equal token counts recomputed
+        # from the raw text — an independent index-content invariant
+        "fq_termfreq": """
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     t -> t = 'value')) AS tf
+              FROM documents
+            ) WHERE tf > 0
+        """,
+        "fq_map_recip_linear": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 0.0 ELSE l_quantity END AS mapped,
+                   ROUND(1000.0 / (1.0 * l_quantity + 1.0), 6) AS recip_q,
+                   ROUND(2.0 * l_quantity + 5.0, 4) AS lin_q
+            FROM lineitem
+        """,
+        "fq_scale": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((l_extendedprice - MIN(l_extendedprice) OVER ())
+                         / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6) AS scaled
+            FROM lineitem
+        """,
+        "fq_haversine": """
+            SELECT c_custkey,
+                   ROUND(2 * 6371.0087714 * ASIN(SQRT(
+                     POW(SIN(RADIANS(48.2 - ((c_custkey % 180) - 90 + 0.5)) / 2), 2)
+                     + COS(RADIANS((c_custkey % 180) - 90 + 0.5)) * COS(RADIANS(48.2))
+                       * POW(SIN(RADIANS(16.37 - ((c_custkey * 7 % 360) - 180 + 0.5)) / 2), 2)
+                   )), 3) AS dist_km
+            FROM customer
+        """,
+        "fq_strdist": """
+            SELECT c_custkey,
+                   ROUND(CASE WHEN GREATEST(LENGTH(c_mktsegment), LENGTH('BUILDING')) = 0 THEN 1.0
+                         ELSE 1.0 - levenshtein(c_mktsegment, 'BUILDING')
+                              / GREATEST(LENGTH(c_mktsegment), LENGTH('BUILDING')) END, 6) AS sim
+            FROM customer
+        """,
+        "fq_ms_ord": """
+            SELECT o_orderkey,
+                   CAST((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1995-01-01')) / 1000 AS BIGINT) AS ms_since,
+                   DENSE_RANK() OVER (ORDER BY o_totalprice) AS price_ord
+            FROM orders
         """,
         "text_quality": f"""
             WITH t AS (

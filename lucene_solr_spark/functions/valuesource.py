@@ -1,0 +1,105 @@
+"""Function-query (ValueSource) library — SURVEY.md §2.10.
+
+Reference: `[U] solr/core/.../search/ValueSourceParser.java` (registry),
+`[U] lucene/queries/.../function/valuesource/*.java`. Most entries map
+1:1 onto ``pyspark.sql.functions`` (abs/add/sub/mul/div/pow/sqrt/log/
+trig/ceil/floor → same names; min/max → least/greatest; if/exists/def →
+when/coalesce/isnotnull); below are the ones with actual logic, each a
+Column-in/Column-out combinator so Catalyst folds them into codegen.
+
+Index-coupled sources (termfreq/docfreq/idf/norm) live on IndexReader
+(they read the postings/docmeta tables).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "map_fn", "scale_fn", "recip", "linear", "haversine_km", "geodist",
+    "ms", "strdist_levenshtein", "ord_fn", "rord_fn", "boost_product",
+]
+
+
+def map_fn(x: Column, lo: float, hi: float, target: float,
+           default: Column | None = None) -> Column:
+    """map(x, min, max, target[, default]): x in [min, max] -> target,
+    else default (or x). `[U] .../function/valuesource/RangeMapFloatFunction.java`."""
+    fallback = default if default is not None else x
+    return F.when((x >= lo) & (x <= hi), F.lit(target)).otherwise(fallback)
+
+
+def scale_fn(df: DataFrame, x: Column, lo: float, hi: float) -> Column:
+    """scale(x, lo, hi): min-max rescale into [lo, hi]. The reference
+    computes the field's global min/max per searcher
+    (`[U] .../valuesource/ScaleFloatFunction.java`); here an analytic
+    window over the whole frame does it in one pass (no driver collect).
+    Returns a column valid on ``df``."""
+    w = Window.partitionBy()
+    xmin, xmax = F.min(x).over(w), F.max(x).over(w)
+    span = xmax - xmin
+    return F.when(span == 0, F.lit(lo)).otherwise(
+        (x - xmin) / span * (hi - lo) + F.lit(lo)
+    )
+
+
+def recip(x: Column, m: float, a: float, b: float) -> Column:
+    """recip(x,m,a,b) = a / (m*x + b) — the classic age-decay boost
+    (`[U] .../valuesource/ReciprocalFloatFunction.java`)."""
+    return F.lit(a) / (F.lit(m) * x + F.lit(b))
+
+
+def linear(x: Column, m: float, c: float) -> Column:
+    return F.lit(m) * x + F.lit(c)
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (`[U] .../valuesource/
+    HaversineFunction.java`; Solr ``geodist``/``hsin``)."""
+    r = 6371.0087714  # Solr's mean earth radius, km
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1)
+    dl = F.radians(lon2 - lon1)
+    a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
+    return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+geodist = haversine_km
+
+
+def ms(ts1: Column, ts2: Column) -> Column:
+    """ms(a,b): milliseconds between two timestamps
+    (`[U] .../valuesource/DateDifferenceFunction.java` semantics)."""
+    return (F.unix_micros(ts1.cast("timestamp")) - F.unix_micros(ts2.cast("timestamp"))) / 1000
+
+
+def strdist_levenshtein(a: Column, b: Column) -> Column:
+    """strdist(a, b, edit): similarity in [0,1] = 1 - dist/maxlen
+    (`[U] .../util/distance/LevensteinDistance.java` ⚠ upstream class
+    name has the historical spelling)."""
+    ml = F.greatest(F.length(a), F.length(b))
+    return F.when(ml == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / ml
+    )
+
+
+def ord_fn(x: Column) -> Column:
+    """ord(field): 1-based position of the value in the field's sorted
+    unique order (`[U] .../valuesource/OrdFieldSource.java`)."""
+    return F.dense_rank().over(Window.partitionBy().orderBy(x.asc()))
+
+
+def rord_fn(x: Column) -> Column:
+    return F.dense_rank().over(Window.partitionBy().orderBy(x.desc()))
+
+
+def boost_product(score: Column, *boosts: Column) -> Column:
+    """boost(q, f): multiply a score column by function values
+    (`[U] solr/core/.../search/BoostQParserPlugin.java`)."""
+    out = score
+    for b in boosts:
+        out = out * b
+    return out

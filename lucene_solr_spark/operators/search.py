@@ -50,6 +50,7 @@ from ..functions.postings import (
 from ..plans.query import (
     BooleanQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllQuery,
     MultiTermQuery,
     PhraseQuery,
@@ -185,6 +186,8 @@ class _SegmentScorer:
         if isinstance(q, ConstantScoreQuery):
             d, _ = self.eval(q.query)
             return d, np.full(len(d), np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._eval_dismax(q)
         if isinstance(q, MatchAllQuery):
             base, n = self.doc_base.get(self.seg, (0, 0))
             docs = np.arange(base, base + n, dtype=np.int64)
@@ -228,6 +231,22 @@ class _SegmentScorer:
         w = self.phrase_weights[q.terms]
         return cand[hit], score_tf(w, freqs[hit], norms[hit], self.cache)
 
+    def _eval_dismax(self, q: DisjunctionMaxQuery) -> Tuple[np.ndarray, np.ndarray]:
+        evals = [self.eval(c) for c in q.clauses]
+        allowed = np.empty(0, np.int64)
+        for d, _ in evals:
+            allowed = np.union1d(allowed, d)
+        if allowed.size == 0:
+            return allowed, np.empty(0, np.float32)
+        total = np.zeros(len(allowed), dtype=np.float32)
+        mx = np.zeros(len(allowed), dtype=np.float32)
+        for d, sc in evals:
+            v = _lookup(d, sc, allowed)
+            total += v
+            np.maximum(mx, v, out=mx)
+        scores = (mx + np.float32(q.tiebreak) * (total - mx)).astype(np.float32)
+        return allowed, scores
+
     def _eval_bool(self, q: BooleanQuery) -> Tuple[np.ndarray, np.ndarray]:
         excluded = np.empty(0, np.int64)
         for c in q.must_not:
@@ -249,6 +268,11 @@ class _SegmentScorer:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         if excluded.size:
             allowed = allowed[~np.isin(allowed, excluded, assume_unique=True)]
+        if q.min_should_match > 1 and should_evals and allowed.size:
+            cnt = np.zeros(len(allowed), dtype=np.int64)
+            for d, _ in should_evals:
+                cnt += np.isin(allowed, d, assume_unique=True)
+            allowed = allowed[cnt >= q.min_should_match]
         if allowed.size == 0:
             return allowed, np.empty(0, np.float32)
 
@@ -282,6 +306,7 @@ def make_query_kernel(query: Query, weights: Dict[str, np.float32],
     is_pure_disjunction = (
         isinstance(query, TermQuery)
         or (isinstance(query, BooleanQuery) and not query.must and not query.must_not
+            and query.min_should_match <= 1
             and all(isinstance(c, TermQuery) for c in query.should))
     )
 
@@ -459,6 +484,9 @@ class IndexReader:
                     )
             elif isinstance(node, ConstantScoreQuery):
                 walk(node.query)
+            elif isinstance(node, DisjunctionMaxQuery):
+                for c in node.clauses:
+                    walk(c)
             elif isinstance(node, PhraseQuery):
                 w = node.boost * sum(
                     idf_fn(dfs.get(t, 0), self.doc_count) for t in node.terms
@@ -482,11 +510,15 @@ class IndexReader:
             return expand_multiterm(q, self._matching_terms(q))
         if isinstance(q, ConstantScoreQuery):
             return ConstantScoreQuery(self._expand(q.query), q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self._expand(c) for c in q.clauses), q.tiebreak)
         if isinstance(q, BooleanQuery):
             return BooleanQuery(
                 should=tuple(self._expand(c) for c in q.should),
                 must=tuple(self._expand(c) for c in q.must),
                 must_not=tuple(self._expand(c) for c in q.must_not),
+                min_should_match=q.min_should_match,
             )
         return q
 
@@ -590,12 +622,41 @@ class IndexReader:
     def fetch(self, topk: DataFrame) -> DataFrame:
         return topk.join(self.docmeta.drop("seg"), "doc_id", "left")
 
+    # -- function-query index sources (SURVEY.md §2.10: termfreq/docfreq/
+    # idf/norm `[U] .../valuesource/TermFreqValueSource.java` etc.)
+    def termfreq(self, term: str) -> DataFrame:
+        """(doc_id, tf) for every doc containing ``term`` — decoded from
+        the posting blobs, pushdown-filtered to the one term."""
+        rows = self._filtered_postings([term])
+
+        def gen(it):
+            for pdf in it:
+                for r in pdf.to_dict("records"):
+                    yield pd.DataFrame({
+                        "doc_id": decode_docs(r),
+                        "tf": decode_tfs(r),
+                    })
+
+        return rows.mapInPandas(gen, "doc_id long, tf long")
+
+    def docfreq(self, term: str) -> int:
+        return self.global_dfs([term]).get(term, 0)
+
+    def idf(self, term: str) -> float:
+        return float(idf_fn(self.docfreq(term), self.doc_count))
+
+    def norms(self) -> DataFrame:
+        """(doc_id, norm_byte, dl) — the norm ValueSource."""
+        return self.docmeta.select("doc_id", "norm_byte", "dl")
+
 
 def _contains_matchall(q: Query) -> bool:
     if isinstance(q, MatchAllQuery):
         return True
     if isinstance(q, ConstantScoreQuery):
         return _contains_matchall(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(_contains_matchall(c) for c in q.clauses)
     if isinstance(q, BooleanQuery):
         return any(_contains_matchall(c) for c in q.should + q.must + q.must_not)
     return False

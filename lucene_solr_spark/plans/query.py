@@ -38,6 +38,7 @@ __all__ = [
     "BooleanQuery",
     "MatchAllQuery",
     "ConstantScoreQuery",
+    "DisjunctionMaxQuery",
     "MultiTermQuery",
     "parse_query",
     "rewrite",
@@ -76,6 +77,19 @@ class BooleanQuery:
     should: Tuple["Query", ...] = field(default=())
     must: Tuple["Query", ...] = field(default=())
     must_not: Tuple["Query", ...] = field(default=())
+    #: minimumShouldMatch (`[U] .../search/MinShouldMatchSumScorer.java`,
+    #: folded into WANDScorer in 8.x): >= this many SHOULD clauses must
+    #: match (in addition to all MUSTs). 0/1 == plain disjunction.
+    min_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """Score = max(clause scores) + tiebreak * sum(other matching
+    clause scores) (`[U] .../search/DisjunctionMaxQuery.java`)."""
+
+    clauses: Tuple["Query", ...]
+    tiebreak: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -110,7 +124,7 @@ class MultiTermQuery:
 
 
 Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery,
-              ConstantScoreQuery, MultiTermQuery]
+              ConstantScoreQuery, MultiTermQuery, DisjunctionMaxQuery]
 
 
 # ------------------------------------------------- multi-term expansion
@@ -399,6 +413,11 @@ def rewrite(q: Query) -> Query:
     dedup) mirroring `[U] .../search/BooleanQuery.java :: rewrite`."""
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query), q.boost)
+    if isinstance(q, DisjunctionMaxQuery):
+        clauses = tuple(rewrite(c) for c in q.clauses)
+        if len(clauses) == 1:
+            return clauses[0]
+        return DisjunctionMaxQuery(clauses, q.tiebreak)
     if not isinstance(q, BooleanQuery):
         return q
     should = [rewrite(c) for c in q.should]
@@ -406,9 +425,11 @@ def rewrite(q: Query) -> Query:
     must_not = [rewrite(c) for c in q.must_not]
 
     # flatten nested pure-SHOULD into SHOULD, pure-MUST into MUST
+    # (never across a minimumShouldMatch boundary)
     flat_should: List[Query] = []
     for c in should:
-        if isinstance(c, BooleanQuery) and not c.must and not c.must_not:
+        if (isinstance(c, BooleanQuery) and not c.must and not c.must_not
+                and c.min_should_match <= 1 and q.min_should_match <= 1):
             flat_should.extend(c.should)
         else:
             flat_should.append(c)
@@ -430,12 +451,14 @@ def rewrite(q: Query) -> Query:
 
     should_t, must_t, must_not_t = _dedup(flat_should), _dedup(flat_must), _dedup(must_not)
 
-    # single-clause unwrap
-    if len(should_t) == 1 and not must_t and not must_not_t:
-        return should_t[0]
-    if len(must_t) == 1 and not should_t and not must_not_t:
-        return must_t[0]
-    return BooleanQuery(should=should_t, must=must_t, must_not=must_not_t)
+    # single-clause unwrap (not under a minimumShouldMatch constraint)
+    if q.min_should_match <= 1:
+        if len(should_t) == 1 and not must_t and not must_not_t:
+            return should_t[0]
+        if len(must_t) == 1 and not should_t and not must_not_t:
+            return must_t[0]
+    return BooleanQuery(should=should_t, must=must_t, must_not=must_not_t,
+                        min_should_match=q.min_should_match)
 
 
 def query_terms(q: Query) -> List[Tuple[str, str]]:
@@ -451,6 +474,9 @@ def query_terms(q: Query) -> List[Tuple[str, str]]:
             out.extend((node.field, t) for t in node.terms)
         elif isinstance(node, ConstantScoreQuery):
             walk(node.query)
+        elif isinstance(node, DisjunctionMaxQuery):
+            for c in node.clauses:
+                walk(c)
         elif isinstance(node, MultiTermQuery):
             raise ValueError("MultiTermQuery must be expanded before stats "
                              "(IndexReader handles this; see _expand)")

@@ -33,6 +33,7 @@ from lucene_solr_spark.functions.smallfloat import byte4_to_int, int_to_byte4
 from lucene_solr_spark.plans.query import (
     BooleanQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllQuery,
     MultiTermQuery,
     PhraseQuery,
@@ -95,6 +96,21 @@ class OracleIndex:
             return self._bool_matches(q)
         if isinstance(q, ConstantScoreQuery):
             return {d: np.float32(q.boost) for d in self._matches(q.query)}
+        if isinstance(q, DisjunctionMaxQuery):
+            maps = [self._matches(c) for c in q.clauses]
+            out: Dict[int, np.float32] = {}
+            docs = set()
+            for m in maps:
+                docs |= set(m)
+            for d in docs:
+                total = np.float32(0.0)
+                mx = np.float32(0.0)
+                for m in maps:
+                    v = m.get(d, np.float32(0.0))
+                    total = np.float32(total + v)
+                    mx = max(mx, v)
+                out[d] = np.float32(mx + np.float32(q.tiebreak) * (total - mx))
+            return out
         if isinstance(q, MultiTermQuery):
             pred = multiterm_predicate(q)
             terms = [t for t in self.postings if pred(t)]
@@ -152,6 +168,11 @@ class OracleIndex:
         else:
             return {}  # pure-negative boolean matches nothing (Lucene core)
         allowed -= excluded
+        if q.min_should_match > 1 and should_maps:
+            allowed = {
+                d for d in allowed
+                if sum(1 for m in should_maps if d in m) >= q.min_should_match
+            }
 
         out: Dict[int, np.float32] = {}
         for d in allowed:

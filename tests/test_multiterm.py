@@ -99,3 +99,36 @@ def test_empty_expansion_matches_nothing(idx_pair):
     reader, oracle = idx_pair
     got, total = reader.search_with_total("zzzznotaterm*", k=10)
     assert got == [] and total == 0
+
+
+def test_dismax_rank_identical(idx_pair):
+    from lucene_solr_spark.plans.query import DisjunctionMaxQuery, TermQuery
+
+    reader, oracle = idx_pair
+    for tie in (0.0, 0.3, 1.0):
+        q = DisjunctionMaxQuery(
+            (TermQuery("spark"), TermQuery("merge"), TermQuery("vector")), tie
+        )
+        expected = oracle.search(q, k=20)
+        got, total = reader.search_with_total(q, k=20)
+        assert [d for d, _ in got] == [d for d, _ in expected.score_docs], tie
+        for (gd, gs), (ed, es) in zip(got, expected.score_docs):
+            assert abs(gs - es) < 1e-6
+        assert total == expected.total_hits
+
+
+def test_min_should_match(idx_pair):
+    from lucene_solr_spark.plans.query import BooleanQuery, TermQuery
+
+    reader, oracle = idx_pair
+    terms = tuple(TermQuery(t) for t in ("spark", "merge", "vector", "hash"))
+    for mm in (2, 3, 4):
+        q = BooleanQuery(should=terms, min_should_match=mm)
+        expected = oracle.search(q, k=30)
+        got, total = reader.search_with_total(q, k=30)
+        assert [d for d, _ in got] == [d for d, _ in expected.score_docs], mm
+        assert total == expected.total_hits
+    # mm hits shrink monotonically
+    t2 = reader.search_with_total(BooleanQuery(should=terms, min_should_match=2), k=1)[1]
+    t4 = reader.search_with_total(BooleanQuery(should=terms, min_should_match=4), k=1)[1]
+    assert t2 >= t4

@@ -60,6 +60,7 @@ from ..plans.query import (
     parse_query,
     query_terms,
     rewrite,
+    scan_predicates,
     wildcard_to_regex,
 )
 from .build import Manifest, _term_bucket_py, read_manifest
@@ -128,22 +129,68 @@ class _TermPostings:
                        int(r["blk_max_tf"][i]), int(r["blk_min_norm"][i]))
 
 
+class _RowView:
+    """Zero-copy dict-like view over one posting row's columns — avoids
+    materializing 20-field Python dicts per row (a wildcard matching
+    thousands of terms x hundreds of segments would pay millions of
+    dict allocations otherwise)."""
+
+    __slots__ = ("c", "i")
+
+    def __init__(self, c: Dict[str, np.ndarray], i: int):
+        self.c = c
+        self.i = i
+
+    def __getitem__(self, k):
+        return self.c[k][self.i]
+
+
 def _assemble_terms(pdf: pd.DataFrame) -> Dict[str, _TermPostings]:
     """Posting rows of one segment -> per-term row lists (shards
     concatenated in shard order == doc order)."""
     out: Dict[str, _TermPostings] = {}
-    pdf = pdf.sort_values(["term", "shard"], kind="mergesort")
-    for term, g in pdf.groupby("term", sort=False):
-        rows = list(g.to_dict("records"))
-        out[term] = _TermPostings(
-            rows=rows,
-            max_tf=int(g["max_tf"].max()),
-            min_norm=int(g["min_norm"].min()),
+    if not len(pdf):
+        return out
+    cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    codes, uniq = pd.factorize(cols["term"], sort=False)
+    order = np.lexsort((cols["shard"], codes))
+    c_sorted = codes[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(c_sorted) != 0])
+    ends = np.append(starts[1:], len(c_sorted))
+    max_tf_a = cols["max_tf"]
+    min_norm_a = cols["min_norm"]
+    for s, e in zip(starts, ends):
+        idxs = order[s:e]
+        out[uniq[c_sorted[s]]] = _TermPostings(
+            rows=[_RowView(cols, int(i)) for i in idxs],
+            max_tf=int(max(max_tf_a[i] for i in idxs)),
+            min_norm=int(min(min_norm_a[i] for i in idxs)),
         )
     return out
 
 
 # ------------------------------------------------------------- the kernel
+
+
+def _batch_decode_docs(rows) -> np.ndarray:
+    """Decode MANY posting rows' doc blobs in ONE varint pass (each
+    row's stream starts with an absolute value at a block boundary, so
+    the concatenated stream is a valid reset-segmented delta stream).
+    The per-call overhead of decode_varint would otherwise dominate
+    wildcard queries matching thousands of terms."""
+    if not rows:
+        return np.empty(0, np.int64)
+    from ..functions.varint import decode_varint
+
+    buf = b"".join(r["docs"] for r in rows)
+    d = decode_varint(buf)
+    blk_n_all = np.concatenate([np.asarray(r["blk_n"], dtype=np.int64) for r in rows])
+    starts = np.zeros(len(blk_n_all), dtype=np.int64)
+    starts[1:] = np.cumsum(blk_n_all)[:-1]
+    c = np.cumsum(d)
+    corr = np.zeros(len(blk_n_all), dtype=np.int64)
+    corr[1:] = c[starts[1:] - 1]
+    return c - np.repeat(corr, blk_n_all)
 
 
 def _lookup(docs: np.ndarray, scores: np.ndarray, targets: np.ndarray) -> np.ndarray:
@@ -188,6 +235,14 @@ class _SegmentScorer:
             return d, np.full(len(d), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, DisjunctionMaxQuery):
             return self._eval_dismax(q)
+        if isinstance(q, MultiTermQuery):
+            from ..plans.query import multiterm_predicate
+
+            pred = multiterm_predicate(q)
+            rows = [r for t, tp in self.terms.items() if pred(t) for r in tp.rows]
+            docs = _batch_decode_docs(rows)
+            docs = np.unique(docs)
+            return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, MatchAllQuery):
             base, n = self.doc_base.get(self.seg, (0, 0))
             docs = np.arange(base, base + n, dtype=np.int64)
@@ -427,10 +482,24 @@ def _maxscore_disjunction(query: Query, scorer: _SegmentScorer, k: int):
 # ------------------------------------------------------------- the reader
 
 
-class IndexReader:
-    """Open a committed index; run queries (SURVEY.md §3.1 shape)."""
+#: cache the whole term -> global-df map driver-side only while the
+#: term dictionary is small; above this, stats stay a per-query agg job
+#: (at 10^12-file scale the dictionary itself is distributed state)
+STATS_CACHE_MAX_TERMS = 5_000_000
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+
+class IndexReader:
+    """Open a committed index; run queries (SURVEY.md §3.1 shape).
+
+    ``cache_stats=True`` (default) collects the global term->docFreq
+    map ONCE at open — Lucene's in-memory term dictionary role — so
+    every query runs a single Spark job instead of stats+search. The
+    collect is guarded by STATS_CACHE_MAX_TERMS (manifest per-segment
+    n_terms bound); huge indexes fall back to the per-query stats agg.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_stats: bool = True):
         self.spark = spark
         self.index_dir = index_dir
         m = read_manifest(index_dir)
@@ -448,12 +517,25 @@ class IndexReader:
         self.sum_dl = m.sum_dl
         self.avgdl = self.sum_dl / self.doc_count if self.doc_count else 0.0
         self.cache = norm_cache(self.avgdl)
+        self._df_map: Optional[Dict[str, int]] = None
+        if cache_stats:
+            # LIMIT guard: if the distinct vocabulary exceeds the cap,
+            # the extra row proves it and we fall back (never OOMs the
+            # driver on a huge dictionary)
+            rows = (
+                self.postings.groupBy("term").agg(F.sum("df").alias("df"))
+                .limit(STATS_CACHE_MAX_TERMS + 1).collect()
+            )
+            if len(rows) <= STATS_CACHE_MAX_TERMS:
+                self._df_map = {r["term"]: int(r["df"]) for r in rows}
 
     # -- stats (the createWeight global-stats job)
     def global_dfs(self, terms: Iterable[str]) -> Dict[str, int]:
         terms = list(dict.fromkeys(terms))
         if not terms:
             return {}
+        if self._df_map is not None:
+            return {t: self._df_map[t] for t in terms if t in self._df_map}
         rows = (
             self._filtered_postings(terms)
             .groupBy("term")
@@ -507,7 +589,9 @@ class IndexReader:
     # reach the driver.
     def _expand(self, q: Query) -> Query:
         if isinstance(q, MultiTermQuery):
-            return expand_multiterm(q, self._matching_terms(q))
+            if q.kind == "fuzzy":
+                return expand_multiterm(q, self._matching_terms(q))
+            return expand_multiterm(q, [])  # predicate stays in the tree
         if isinstance(q, ConstantScoreQuery):
             return ConstantScoreQuery(self._expand(q.query), q.boost)
         if isinstance(q, DisjunctionMaxQuery):
@@ -522,33 +606,41 @@ class IndexReader:
             )
         return q
 
-    def _matching_terms(self, mq: MultiTermQuery) -> List[str]:
+    def _multiterm_cond(self, mq: MultiTermQuery):
         t = F.col("term")
         if mq.kind == "prefix":
-            cond = t.startswith(mq.pattern)
-        elif mq.kind == "wildcard":
-            cond = t.rlike("^(?:" + wildcard_to_regex(mq.pattern) + ")$")
-        elif mq.kind == "regexp":
+            return t.startswith(mq.pattern)
+        if mq.kind == "wildcard":
+            return t.rlike("^(?:" + wildcard_to_regex(mq.pattern) + ")$")
+        if mq.kind == "regexp":
             # common Java/Python regex subset; anchored like Lucene's
             # RegexpQuery full-term match
-            cond = t.rlike("^(?:" + mq.pattern + ")$")
-        elif mq.kind == "range":
+            return t.rlike("^(?:" + mq.pattern + ")$")
+        if mq.kind == "range":
             cond = F.lit(True)
             if mq.lo:
                 cond = cond & (t >= mq.lo if mq.include_lo else t > mq.lo)
             if mq.hi:
                 cond = cond & (t <= mq.hi if mq.include_hi else t < mq.hi)
-        elif mq.kind == "fuzzy":
+            return cond
+        if mq.kind == "fuzzy":
             n = len(mq.pattern)
-            cond = (
+            return (
                 (F.length(t) >= n - mq.max_edits)
                 & (F.length(t) <= n + mq.max_edits)
                 & (F.levenshtein(t, F.lit(mq.pattern)) <= mq.max_edits)
             )
-        else:
-            raise ValueError(f"unknown multiterm kind {mq.kind!r}")
+        raise ValueError(f"unknown multiterm kind {mq.kind!r}")
+
+    def _matching_terms(self, mq: MultiTermQuery) -> List[str]:
+        if self._df_map is not None:
+            from ..plans.query import multiterm_predicate
+
+            pred = multiterm_predicate(mq)
+            return [t for t in self._df_map if pred(t)]
         return [r["term"] for r in
-                self.postings.filter(cond).select("term").distinct().collect()]
+                self.postings.filter(self._multiterm_cond(mq))
+                .select("term").distinct().collect()]
 
     # -- search
     def search(self, query: str | Query, k: int = 10, prune: str = "maxscore",
@@ -596,10 +688,31 @@ class IndexReader:
             q, weights, phrase_weights, self.cache, self.manifest.doc_base(), k, prune
         )
         has_matchall = _contains_matchall(q)
+        conds = []
         if terms:
-            src = self._filtered_postings(terms)
+            buckets = sorted({_term_bucket_py(t) for t in terms})
+            conds.append(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        for mq in scan_predicates(q):
+            conds.append(self._multiterm_cond(mq))
+        if conds:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            src = self.postings.filter(cond)
         else:
             src = self.postings.filter(F.lit(False))
+        # column pruning per query shape: constant-score-only queries
+        # never ship tf/norm/impact columns, and the pos blobs (the
+        # bulkiest column) move only for phrase queries — mirrors
+        # Lucene's lazy .pos file access (SURVEY.md §4.1)
+        cols = ["seg", "term", "shard", "df", "max_tf", "min_norm",
+                "docs", "blk_n"]
+        if weights or phrase_weights:
+            cols += ["tfs", "norms", "blk_first", "blk_last",
+                     "blk_max_tf", "blk_min_norm", "blk_doc_off", "blk_tf_off"]
+        if phrase_weights:
+            cols += ["pos", "blk_pos_off"]
+        src = src.select(*cols)
         if has_matchall:
             # MatchAll needs every segment represented even when no term
             # posting rows exist in it: union empty carrier rows per seg

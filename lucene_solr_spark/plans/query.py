@@ -44,6 +44,7 @@ __all__ = [
     "rewrite",
     "query_terms",
     "expand_multiterm",
+    "scan_predicates",
     "multiterm_predicate",
     "wildcard_to_regex",
     "levenshtein",
@@ -181,23 +182,54 @@ def multiterm_predicate(q: MultiTermQuery):
 
 
 def expand_multiterm(q: MultiTermQuery, matching_terms: List[str]) -> "Query":
-    """Matching terms -> replacement query. BOTH the engine and the
-    oracle build the replacement through this one function, so the
-    float32 summation order (sorted terms) is identical by
-    construction."""
-    if q.kind == "fuzzy":
-        ranked = sorted(matching_terms, key=lambda t: (levenshtein(t, q.pattern), t))
-        chosen = ranked[: q.max_expansions]
-        if not chosen:
-            return BooleanQuery()
-        return rewrite(BooleanQuery(
-            should=tuple(TermQuery(t, q.field, q.boost) for t in sorted(chosen))
-        ))
-    terms = sorted(matching_terms)
-    if not terms:
+    """FUZZY expansion: matching terms -> scored disjunction of the
+    nearest ``max_expansions``. BOTH the engine and the oracle build the
+    replacement through this one function, so the float32 summation
+    order (sorted terms) is identical by construction.
+
+    The constant-score kinds (prefix/wildcard/regexp/range) are NOT
+    expanded into clause lists at all — 'spar*' can match thousands of
+    terms and Lucene solves this with a per-segment bitset rewrite
+    (CONSTANT_SCORE_REWRITE), not maxClauseCount-bounded booleans. Here
+    the MultiTermQuery node flows to the scorer, its predicate pushed
+    into the postings scan (Catalyst StartsWith/RLike/range filters),
+    and the kernel unions matching terms' doc lists per segment — no
+    driver-side O(matching terms) anywhere."""
+    if q.kind != "fuzzy":
+        return ConstantScoreQuery(
+            MultiTermQuery(q.kind, q.pattern, q.field, 1.0, q.max_edits,
+                           q.max_expansions, q.lo, q.hi,
+                           q.include_lo, q.include_hi),
+            q.boost,
+        )
+    ranked = sorted(matching_terms, key=lambda t: (levenshtein(t, q.pattern), t))
+    chosen = ranked[: q.max_expansions]
+    if not chosen:
         return BooleanQuery()
-    inner = rewrite(BooleanQuery(should=tuple(TermQuery(t, q.field) for t in terms)))
-    return ConstantScoreQuery(inner, q.boost)
+    return rewrite(BooleanQuery(
+        should=tuple(TermQuery(t, q.field, q.boost) for t in sorted(chosen))
+    ))
+
+
+def scan_predicates(q: "Query") -> List[MultiTermQuery]:
+    """Constant-score MultiTermQuery nodes remaining in the tree (their
+    term-dict predicates must be OR'd into the postings scan filter)."""
+    out: List[MultiTermQuery] = []
+
+    def walk(node):
+        if isinstance(node, MultiTermQuery):
+            out.append(node)
+        elif isinstance(node, ConstantScoreQuery):
+            walk(node.query)
+        elif isinstance(node, DisjunctionMaxQuery):
+            for c in node.clauses:
+                walk(c)
+        elif isinstance(node, BooleanQuery):
+            for c in node.should + node.must + node.must_not:
+                walk(c)
+
+    walk(q)
+    return out
 
 
 # ---------------------------------------------------------------- parser
@@ -478,8 +510,10 @@ def query_terms(q: Query) -> List[Tuple[str, str]]:
             for c in node.clauses:
                 walk(c)
         elif isinstance(node, MultiTermQuery):
-            raise ValueError("MultiTermQuery must be expanded before stats "
-                             "(IndexReader handles this; see _expand)")
+            if node.kind == "fuzzy":
+                raise ValueError("fuzzy MultiTermQuery must be expanded "
+                                 "before stats (IndexReader._expand)")
+            # constant-score kinds carry no scored terms
         elif isinstance(node, BooleanQuery):
             for c in node.should + node.must + node.must_not:
                 walk(c)

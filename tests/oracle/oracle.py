@@ -114,7 +114,12 @@ class OracleIndex:
         if isinstance(q, MultiTermQuery):
             pred = multiterm_predicate(q)
             terms = [t for t in self.postings if pred(t)]
-            return self._matches(expand_multiterm(q, terms))
+            if q.kind == "fuzzy":
+                return self._matches(expand_multiterm(q, terms))
+            docs = set()
+            for t in terms:
+                docs |= set(self.postings[t])
+            return {d: np.float32(q.boost) for d in docs}
         raise TypeError(f"unsupported query {q!r}")
 
     def _phrase_matches(self, q: PhraseQuery) -> Dict[int, np.float32]:

@@ -88,7 +88,10 @@ def main() -> None:
 
     idx = IndexReader(spark, idx_dir)
 
-    # ---- BM25 query path (k=10, exact global stats, MaxScore pruning)
+    # ---- BM25 query path (k=10, exact global stats, MaxScore pruning);
+    # one untimed warm-up absorbs Python-worker/codegen startup so the
+    # numbers are steady-state latency
+    idx.search("content:warmup OR value", k=10).collect()
     timed("bm25_term", lambda: idx.search("content:value", k=10).collect())
     timed("bm25_disjunction",
           lambda: idx.search("content:(spark OR merge OR vector OR hash)", k=10).collect())

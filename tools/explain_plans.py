@@ -1,0 +1,153 @@
+"""Physical-plan evidence generator -> PLANS.md.
+
+Dumps `.explain(formatted)` for the engine's key operators and greps the
+properties that matter at 100 TB: parquet PushedFilters / partition
+pruning (term + seg predicates reach the scan), ReadSchema column
+pruning (pos blobs absent from non-phrase plans), WholeStageCodegen
+spans on the relational glue, broadcast joins for small dims, and
+TakeOrderedAndProject for the top-k merge.
+
+    python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def trim(plan: str, max_lines: int = 60) -> str:
+    lines = [l.rstrip() for l in plan.splitlines() if l.strip()]
+    return "\n".join(lines[:max_lines])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("explain-plans")
+        .config("spark.driver.memory", "12g")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from lucene_solr_spark.operators import similarity as sim
+    from lucene_solr_spark.operators import streamexpr as sx
+
+    idx = entry._index_for(spark, sf_dir)
+
+    sections = []
+
+    def add(title: str, df, notes: str):
+        sections.append((title, notes, trim(plan_of(df))))
+
+    # 1. BM25 search: postings scan pushdown + TakeOrderedAndProject
+    add(
+        "BM25 top-k (term query) — postings scan",
+        idx._per_segment(
+            __import__("lucene_solr_spark.plans.query", fromlist=["parse_query"]).parse_query("content:spark"),
+            10, "maxscore",
+        ),
+        "Expect: PushedFilters with term_bucket IN + term IN reaching the "
+        "parquet scan; ReadSchema WITHOUT the pos blob (column pruning — "
+        "non-phrase queries never read positions).",
+    )
+    add(
+        "BM25 global top-k merge",
+        idx.search("content:(spark OR merge)", k=10),
+        "Expect: TakeOrderedAndProject (per-partition heap + driver "
+        "merge, no global sort) == Lucene TopDocs.merge.",
+    )
+
+    # 2. facet agg: partial/final hash aggregate, codegen
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    add(
+        "Field facet (groupBy count)",
+        sx.facet_field(docs, "lang"),
+        "Expect: two HashAggregates (partial then final — map-side "
+        "combine) inside WholeStageCodegen; scan reads ONLY `lang`.",
+    )
+
+    # 3. broadcast join
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    add(
+        "Hash join (small side broadcast)",
+        sx.hash_join_stream(
+            orders,
+            customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            ["o_custkey"],
+        ),
+        "Expect: BroadcastHashJoin (no shuffle of the big orders side).",
+    )
+
+    # 4. ANN brute force: JVM-side expressions, no Python eval
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    add(
+        "ANN cosine top-k (brute force)",
+        sim.cosine_topk(emb, sim.fixed_query_vector(64), 10),
+        "Expect: NO BatchEvalPython/ArrowEvalPython (whole score in JVM "
+        "expressions) and TakeOrderedAndProject for the top-k.",
+    )
+
+    # 5. metadata-only predicate pushdown on a filtered source read
+    add(
+        "Source scan with filter + projection pushdown",
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity"),
+        "Expect: PushedFilters [GreaterThan(l_quantity,45)] and a "
+        "two-column ReadSchema.",
+    )
+
+    out = ["# PLANS — physical-plan evidence (`tools/explain_plans.py`)", ""]
+    out.append(
+        "Checked properties: predicate pushdown to parquet, column "
+        "pruning, partial+final aggregation, broadcast joins, "
+        "whole-stage codegen, TakeOrderedAndProject top-k. Regenerate "
+        "with `python tools/explain_plans.py`.\n"
+    )
+    for title, notes, plan in sections:
+        out.append(f"## {title}\n\n{notes}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md with", len(sections), "plans")
+
+    # quick machine checks
+    import re
+
+    text = "\n".join(p for _, _, p in sections)
+    checks = {
+        "PushedFilters present": "PushedFilters: [" in text,
+        "TakeOrderedAndProject": "TakeOrderedAndProject" in text,
+        "WholeStageCodegen": ("WholeStageCodegen" in text or "* " in text),
+        "BroadcastHashJoin": "BroadcastHashJoin" in text,
+        "partial+final agg": text.count("HashAggregate") >= 2,
+    }
+    for k, v in checks.items():
+        print(("OK   " if v else "MISS ") + k)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

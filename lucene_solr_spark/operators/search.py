@@ -9,9 +9,10 @@ Spark shape of the reference lifecycle (SURVEY.md §3.1):
    `[U] .../search/TermQuery.java :: createWeight` with exact global
    stats (SURVEY.md §3.2: Solr's per-shard IDF is the approximation;
    single-node Lucene semantics need the exact version).
-3. per-leaf scorers — ``postings.filter(term IN q).groupBy("seg")
-   .applyInPandas(kernel)``: one task per segment, numpy kernels decode
-   delta+varint blocks and score. Block-max pruning mirrors
+3. per-leaf scorers — ``postings.filter(...).repartition("seg")
+   .mapInPandas(kernel)``: one streamed kernel per task groups segments
+   in pandas (one Arrow round-trip per task, not per segment); numpy
+   kernels decode delta+varint streams and score. Block-max pruning mirrors
    `[U] .../search/WANDScorer.java` / ``MaxScoreCache.java`` /
    ``ImpactsDISI.java``: per-term upper bounds from (max_tf, min_norm)
    impacts, non-essential-term skipping (MaxScore), per-block pruning

@@ -270,19 +270,25 @@ class _SegmentScorer:
             plist = tp.positions()
             sel = np.searchsorted(tp.docs, cand)
             pos_maps.append([plist[i] for i in sel])
-        freqs = np.zeros(len(cand), dtype=np.int64)
-        norms = np.zeros(len(cand), dtype=np.uint8)
-        n0 = tps[0].norms
-        sel0 = np.searchsorted(tps[0].docs, cand)
-        norms = n0[sel0]
-        for ci in range(len(cand)):
-            first = pos_maps[0][ci]
-            ok = np.ones(len(first), dtype=bool)
-            for off, pm in enumerate(pos_maps[1:], start=1):
-                ok &= np.isin(first + off, pm[ci], assume_unique=True)
-                if not ok.any():
-                    break
-            freqs[ci] = int(ok.sum())
+        norms = tps[0].norms[np.searchsorted(tps[0].docs, cand)]
+        if q.slop > 0:
+            from ..plans.query import sloppy_phrase_freq
+
+            freqs = np.zeros(len(cand), dtype=np.float64)
+            for ci in range(len(cand)):
+                freqs[ci] = sloppy_phrase_freq(
+                    [pm[ci] for pm in pos_maps], q.slop
+                )
+        else:
+            freqs = np.zeros(len(cand), dtype=np.int64)
+            for ci in range(len(cand)):
+                first = pos_maps[0][ci]
+                ok = np.ones(len(first), dtype=bool)
+                for off, pm in enumerate(pos_maps[1:], start=1):
+                    ok &= np.isin(first + off, pm[ci], assume_unique=True)
+                    if not ok.any():
+                        break
+                freqs[ci] = int(ok.sum())
         hit = freqs > 0
         w = self.phrase_weights[q.terms]
         return cand[hit], score_tf(w, freqs[hit], norms[hit], self.cache)

@@ -45,6 +45,7 @@ __all__ = [
     "query_terms",
     "expand_multiterm",
     "scan_predicates",
+    "sloppy_phrase_freq",
     "multiterm_predicate",
     "wildcard_to_regex",
     "levenshtein",
@@ -152,6 +153,39 @@ def levenshtein(a: str, b: str, cap: int = 8) -> int:
             cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def sloppy_phrase_freq(positions, slop: int) -> float:
+    """Ordered sloppy-phrase pseudo-freq, SHARED by engine and oracle.
+
+    Semantics (documented simplification of `[U] .../search/
+    SloppyPhraseMatcher.java` — ordered matches only, no term
+    reordering): starting at each occurrence p0 of the first term,
+    greedily take the smallest q_i > q_{i-1} for each following term;
+    matchLength = q_last - p0 - (n-1); a match needs matchLength <=
+    slop and contributes sloppyFreq = 1/(1+matchLength)
+    (`[U] .../search/similarities/Similarity.SimScorer` weighting).
+    ``positions``: one ascending position array per phrase term.
+    """
+    import bisect
+
+    n = len(positions)
+    freq = 0.0
+    for p0 in positions[0]:
+        prev = p0
+        ok = True
+        for i in range(1, n):
+            arr = positions[i]
+            j = bisect.bisect_right(arr, prev)
+            if j >= len(arr):
+                ok = False
+                break
+            prev = arr[j]
+        if ok:
+            match_len = prev - p0 - (n - 1)
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+    return freq
 
 
 def multiterm_predicate(q: MultiTermQuery):
@@ -347,13 +381,14 @@ class _Parser:
             assert colon[0] == "colon"
             return self._atom(val)
         if kind == "phrase":
+            slop = self._trailing_slop()
             boost = self._trailing_boost()
             terms = tuple(tokenize(val.strip('"'), self.analyzer))
             if not terms:
                 return MatchAllQuery()
             if len(terms) == 1:
                 return TermQuery(terms[0], fld, boost)
-            return PhraseQuery(terms, fld, boost)
+            return PhraseQuery(terms, fld, boost, slop)
         if kind == "regex":
             return MultiTermQuery("regexp", val[1:-1], fld, self._trailing_boost())
         if kind == "lbracket":
@@ -413,6 +448,13 @@ class _Parser:
             self.lex.next()
             return float(val[1:])
         return 1.0
+
+    def _trailing_slop(self) -> int:
+        kind, val = self.lex.peek()
+        if kind == "word" and re.fullmatch(r"~\d+", val):
+            self.lex.next()
+            return int(val[1:])
+        return 0
 
 
 def _split_boost(val: str) -> Tuple[str, float]:

@@ -140,6 +140,14 @@ class OracleIndex:
             w *= K1 + 1.0
         w = np.float32(w)
         out: Dict[int, np.float32] = {}
+        if q.slop > 0:
+            from lucene_solr_spark.plans.query import sloppy_phrase_freq
+
+            for d in candidates:
+                freq = sloppy_phrase_freq([pl[d] for pl in term_pls], q.slop)
+                if freq > 0:
+                    out[d] = self._score_one(w, freq, d)
+            return out
         for d in candidates:
             first = term_pls[0][d]
             freq = 0

@@ -132,3 +132,42 @@ def test_min_should_match(idx_pair):
     t2 = reader.search_with_total(BooleanQuery(should=terms, min_should_match=2), k=1)[1]
     t4 = reader.search_with_total(BooleanQuery(should=terms, min_should_match=4), k=1)[1]
     assert t2 >= t4
+
+
+@pytest.mark.parametrize("q", ['"window batch"~2', '"spark merge"~4', '"batch batch"~1'])
+def test_sloppy_phrase_rank_identical(idx_pair, q):
+    reader, oracle = idx_pair
+    expected = oracle.search(q, k=20)
+    got, total = reader.search_with_total(q, k=20)
+    assert [d for d, _ in got] == [d for d, _ in expected.score_docs], q
+    for (gd, gs), (ed, es) in zip(got, expected.score_docs):
+        assert abs(gs - es) < 1e-6
+    assert total == expected.total_hits
+
+
+def test_sloppy_widens_exact(idx_pair):
+    reader, _ = idx_pair
+    exact = reader.search_with_total('"spark merge"', k=5)[1]
+    sloppy = reader.search_with_total('"spark merge"~6', k=5)[1]
+    assert sloppy >= exact
+
+
+def test_sloppy_phrase_freq_semantics():
+    from lucene_solr_spark.plans.query import sloppy_phrase_freq
+
+    # adjacent pair: matchLength 0 -> weight 1
+    assert sloppy_phrase_freq([[0], [1]], 2) == 1.0
+    # one-gap pair: matchLength 1 -> 1/2, needs slop >= 1
+    assert sloppy_phrase_freq([[0], [2]], 0) == 0.0
+    assert sloppy_phrase_freq([[0], [2]], 1) == 0.5
+    # two independent adjacent matches
+    assert sloppy_phrase_freq([[0, 10], [1, 11]], 0) == 2.0
+    # ordered-only: reversed terms never match
+    assert sloppy_phrase_freq([[5], [1]], 9) == 0.0
+
+
+def test_parser_phrase_slop():
+    q = parse_query('"a b"~3')
+    assert q.slop == 3
+    q = parse_query('"a b"')
+    assert q.slop == 0

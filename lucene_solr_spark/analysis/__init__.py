@@ -46,7 +46,9 @@ __all__ = [
     "SIMPLE_TOKEN_RE",
     "tokenize",
     "tokenize_series",
+    "ENGLISH_STOP_WORDS",
     "analyze",
+    "analyzer_has_gaps",
 ]
 
 MAX_TOKEN_LENGTH = 255
@@ -68,7 +70,23 @@ TOKEN_RE = re.compile(rf"\w+(?:{_SEP}\w+)*", re.UNICODE)
 # analyzer="simple" so Spark and DuckDB tokenize identically.
 SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
-_ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE}
+_ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
+              "standard_stop": TOKEN_RE}
+
+# StopFilter (SURVEY.md §2.2, `[U] .../analysis/StopFilter.java`) with
+# Lucene's classic English stop set (`[U] .../analysis/en/
+# EnglishAnalyzer.java :: ENGLISH_STOP_WORDS_SET`). StandardAnalyzer's
+# own default stop set is EMPTY since 7.0, so "standard" applies none;
+# "standard_stop" layers this set WITH position-increment gaps
+# (PositionIncrementAttribute: removed tokens leave holes, so phrases
+# do not match across a removed stopword — pinned by tests).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+_STOP_SETS = {"standard": frozenset(), "simple": frozenset(),
+              "standard_stop": ENGLISH_STOP_WORDS}
 
 # ---------------------------------------------------------------- JVM side
 #
@@ -114,10 +132,28 @@ def tokens_column(col, analyzer: str = "standard"):
     return F.filter(F.split(F.lower(col), pattern, -1), lambda t: t != "")
 
 
+def analyzer_has_gaps(analyzer: str) -> bool:
+    """True when the chain removes tokens, leaving position holes."""
+    return bool(_STOP_SETS[analyzer])
+
+
 def _split_long(tok: str) -> List[str]:
     if len(tok) <= MAX_TOKEN_LENGTH:
         return [tok]
     return [tok[i : i + MAX_TOKEN_LENGTH] for i in range(0, len(tok), MAX_TOKEN_LENGTH)]
+
+
+def _raw_tokens(text: str, analyzer: str) -> List[str]:
+    """Pre-stop-filter token stream (positions = list index)."""
+    pattern = _ANALYZERS[analyzer]
+    raw = pattern.findall(text.lower())
+    out: List[str] = []
+    for t in raw:
+        if len(t) > MAX_TOKEN_LENGTH:
+            out.extend(_split_long(t))
+        else:
+            out.append(t)
+    return out
 
 
 def tokenize(text: str, analyzer: str = "standard") -> List[str]:
@@ -133,25 +169,29 @@ def tokenize(text: str, analyzer: str = "standard") -> List[str]:
     """
     if text is None:
         return []
-    pattern = _ANALYZERS[analyzer]
-    raw = pattern.findall(text.lower())
-    out: List[str] = []
-    for t in raw:
-        if len(t) > MAX_TOKEN_LENGTH:
-            out.extend(_split_long(t))
-        else:
-            out.append(t)
+    out = _raw_tokens(text, analyzer)
+    stop = _STOP_SETS[analyzer]
+    if stop:
+        out = [t for t in out if t not in stop]
     return out
 
 
 def analyze(text: str, analyzer: str = "standard") -> List[Tuple[str, int]]:
     """text -> [(term, position)] with 0-based positions.
 
-    Position = token index in emission order (`[U] .../tokenattributes/
-    PositionIncrementAttribute.java`: increments of 1, no stop filter in
-    the default chain so no gaps).
+    Position = token index in the PRE-stop-filter stream
+    (`[U] .../tokenattributes/PositionIncrementAttribute.java`):
+    stop-filtered analyzers leave gaps, so phrases never match across a
+    removed stopword. Norm length (dl) = number of EMITTED tokens
+    (FieldInvertState.length counts surviving increments).
     """
-    return [(t, i) for i, t in enumerate(tokenize(text, analyzer))]
+    if text is None:
+        return []
+    raw = _raw_tokens(text, analyzer)
+    stop = _STOP_SETS[analyzer]
+    if not stop:
+        return list(zip(raw, range(len(raw))))
+    return [(t, i) for i, t in enumerate(raw) if t not in stop]
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -170,4 +210,7 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         toks[needs_split] = toks[needs_split].map(
             lambda ts: [c for t in ts for c in _split_long(t)]
         )
+    stop = _STOP_SETS[analyzer]
+    if stop:
+        toks = toks.map(lambda ts: [t for t in ts if t not in stop])
     return toks

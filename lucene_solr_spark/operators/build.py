@@ -119,25 +119,47 @@ def _atomic_parquet_write(table, dirname: str, row_group_size: int) -> None:
 
 def _seg_term_codes(texts: List[str], analyzer: str):
     """Python texts of ONE segment -> (dls, codes in sorted-term space,
-    uniq_sorted terms). CPython's sre ``findall`` measures ~5x faster
-    per core than Java's regex on the same token grammar (lookaround
-    alternations are slow on the JVM), so tokenization stays in the
-    Python kernel; everything downstream of the token lists is
-    numpy/pandas vectorized."""
-    from ..analysis import tokenize
+    uniq_sorted terms, positions-or-None). CPython's sre ``findall``
+    measures ~5x faster per core than Java's regex on the same token
+    grammar (lookaround alternations are slow on the JVM), so
+    tokenization stays in the Python kernel; everything downstream of
+    the token lists is numpy/pandas vectorized.
+
+    Gap-free analyzers return positions=None (the kernel derives them
+    as 0..dl-1); stop-filtered analyzers return the explicit
+    position stream with holes (PositionIncrementAttribute gaps)."""
+    from ..analysis import analyzer_has_gaps, analyze, tokenize
+
+    if analyzer_has_gaps(analyzer):
+        pair_lists = [analyze(t, analyzer) for t in texts]
+        dls = np.fromiter((len(p) for p in pair_lists), dtype=np.int64,
+                          count=len(pair_lists))
+        total = int(dls.sum())
+        if total == 0:
+            return dls, np.empty(0, np.int64), [], None
+        flat = np.empty(total, dtype=object)
+        pos = np.empty(total, dtype=np.int64)
+        o = 0
+        for pairs in pair_lists:
+            for t, pp in pairs:
+                flat[o] = t
+                pos[o] = pp
+                o += 1
+        codes, uniq = pd.factorize(flat, sort=True)
+        return dls, codes.astype(np.int64), list(uniq), pos
 
     lists = [tokenize(t, analyzer) for t in texts]
     dls = np.fromiter((len(lst) for lst in lists), dtype=np.int64, count=len(lists))
     total = int(dls.sum())
     if total == 0:
-        return dls, np.empty(0, np.int64), []
+        return dls, np.empty(0, np.int64), [], None
     flat = np.empty(total, dtype=object)
     o = 0
     for lst in lists:
         flat[o:o + len(lst)] = lst
         o += len(lst)
     codes, uniq = pd.factorize(flat, sort=True)
-    return dls, codes.astype(np.int64), list(uniq)
+    return dls, codes.astype(np.int64), list(uniq), None
 
 
 def make_segment_writer(index_dir: str, analyzer: str = "standard",
@@ -166,7 +188,7 @@ def make_segment_writer(index_dir: str, analyzer: str = "standard",
     def process_segment(sub) -> dict:
         seg = sub["seg"][0].as_py()
         doc_ids = sub["doc_id"].to_numpy().astype(np.int64)
-        dls, codes_flat, uniq_list = _seg_term_codes(
+        dls, codes_flat, uniq_list, pos_flat = _seg_term_codes(
             sub[field_name].to_pylist(), analyzer
         )
         norms_by_doc = encode_norms(dls).astype(np.int64)
@@ -174,9 +196,12 @@ def make_segment_writer(index_dir: str, analyzer: str = "standard",
         total = int(dls.sum())
         if total:
             doc_idx = np.repeat(np.arange(len(sub), dtype=np.int64), dls)
-            starts = np.zeros(len(sub), dtype=np.int64)
-            starts[1:] = np.cumsum(dls)[:-1]
-            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, dls)
+            if pos_flat is None:
+                starts = np.zeros(len(sub), dtype=np.int64)
+                starts[1:] = np.cumsum(dls)[:-1]
+                pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, dls)
+            else:
+                pos_in_doc = pos_flat  # explicit stream with stopword gaps
             codes = codes_flat
 
             order = np.lexsort((pos_in_doc, doc_idx, codes))
@@ -468,6 +493,15 @@ def build_index(
     doc_id range of ``docs_per_seg`` docs (ingestion-order slices, like
     Lucene's flush-ordered segments).
     """
+    if docs_per_seg > shard_postings:
+        # the build kernel emits one row per term (df <= docs_per_seg
+        # bounds it); sharding only ever arises in MERGED segments,
+        # where merge_segments honors shard_postings
+        raise ValueError(
+            f"docs_per_seg ({docs_per_seg}) must be <= shard_postings "
+            f"({shard_postings}); a build segment's df can never exceed "
+            "its doc count, so larger segments would need in-build sharding"
+        )
     prev = read_manifest(index_dir) if resume else None
     if prev is not None and (prev.docs_per_seg != docs_per_seg or prev.analyzer != analyzer):
         raise ValueError("resume with different docs_per_seg/analyzer — use a fresh index_dir")

@@ -385,7 +385,9 @@ class _Parser:
             boost = self._trailing_boost()
             terms = tuple(tokenize(val.strip('"'), self.analyzer))
             if not terms:
-                return MatchAllQuery()
+                # analyzes to nothing (e.g. all stopwords) -> matches
+                # nothing, like a clause the analyzer dropped entirely
+                return BooleanQuery()
             if len(terms) == 1:
                 return TermQuery(terms[0], fld, boost)
             return PhraseQuery(terms, fld, boost, slop)
@@ -413,7 +415,7 @@ class _Parser:
                 return MultiTermQuery("wildcard", val.lower(), fld, boost)
             toks = tokenize(val, self.analyzer)
             if not toks:
-                return MatchAllQuery()  # analyzes to nothing -> matches nothing scored; rewrite below
+                return BooleanQuery()  # analyzes to nothing -> matches nothing
             if len(toks) == 1:
                 return TermQuery(toks[0], fld, boost)
             # a single word that analyzes to multiple tokens (e.g. "3.14x")

@@ -23,7 +23,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from lucene_solr_spark.analysis import tokenize
+from lucene_solr_spark.analysis import analyze
 from lucene_solr_spark.functions.bm25 import (
     BM25Stats,
     norm_cache,
@@ -62,11 +62,11 @@ class OracleIndex:
         self.doc_ids: List[int] = []
         sum_dl = 0
         for doc_id, text in docs:
-            toks = tokenize(text, analyzer)
+            toks = analyze(text, analyzer)
             self.doc_ids.append(doc_id)
             self.norm_bytes[doc_id] = int_to_byte4(len(toks))
             sum_dl += len(toks)
-            for pos, t in enumerate(toks):
+            for t, pos in toks:
                 self.postings.setdefault(t, {}).setdefault(doc_id, 0)
                 self.postings[t][doc_id] += 1
                 self.positions.setdefault(t, {}).setdefault(doc_id, []).append(pos)

@@ -88,3 +88,14 @@ def test_tokens_nonempty_and_lowercase(text):
         assert t
         assert len(t) <= MAX_TOKEN_LENGTH
         assert t == t.lower()
+
+
+def test_stop_analyzer_gaps():
+    from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS, analyze, tokenize
+
+    text = "The quick fox and the lazy dog"
+    assert tokenize(text, "standard_stop") == ["quick", "fox", "lazy", "dog"]
+    assert analyze(text, "standard_stop") == [
+        ("quick", 1), ("fox", 2), ("lazy", 5), ("dog", 6)
+    ]
+    assert "the" in ENGLISH_STOP_WORDS and "quick" not in ENGLISH_STOP_WORDS

@@ -147,3 +147,29 @@ def test_assign_doc_ids_deterministic(spark):
     # equals the pure-Python rank over the sort key
     expected = {k: i for i, k in enumerate(sorted(rows_a))}
     assert rows_a == expected
+
+
+def test_hot_term_sharded_merge(spark, corpus, tmp_path):
+    """Force the hot-term shard path: merge with a tiny shard_postings
+    so frequent terms split into multiple doc-ordered rows; searches
+    must stay rank-identical to the unsharded index and CheckIndex
+    must pass."""
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)  # 8 segments
+    baseline = IndexReader(spark, d)
+    expected = {q: baseline.search_with_total(q, k=30) for q in MERGE_QUERIES}
+
+    m0 = read_manifest(d)
+    m1 = merge_segments(spark, d, m0.seg_ids, shard_postings=32)
+    assert len(m1.seg_ids) == 1
+
+    merged = IndexReader(spark, d)
+    shards = (
+        merged.postings.groupBy("term")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert shards > 0, "expected at least one multi-shard term"
+    for q in MERGE_QUERIES:
+        assert merged.search_with_total(q, k=30) == expected[q], q
+    report = verify_index(spark, d, source=corpus)
+    assert report["ok"], report["problems"]

@@ -171,3 +171,26 @@ def test_parser_phrase_slop():
     assert q.slop == 3
     q = parse_query('"a b"')
     assert q.slop == 0
+
+
+def test_stop_analyzer_index_rank_identical(spark, sf_dir, tmp_path_factory):
+    """standard_stop index: stopwords absent, position GAPS preserved —
+    phrases don't match across removed stopwords, sloppy ones do;
+    engine == oracle throughout."""
+    from lucene_solr_spark.sources import load_source_table
+
+    corpus = load_source_table(spark, sf_dir)
+    d = str(tmp_path_factory.mktemp("stop") / "idx")
+    build_index(spark, corpus, d, docs_per_seg=128, analyzer="standard_stop")
+    reader = IndexReader(spark, d)
+    oracle = OracleIndex(
+        [(r["doc_id"], r["content"]) for r in corpus.collect()],
+        analyzer="standard_stop",
+    )
+    assert reader.search_with_total("the", k=5)[1] == 0  # stopword gone
+    for q in ["spark OR merge", "hash AND join", '"batch batch"',
+              '"spark merge"~3', "spar*"]:
+        expected = oracle.search(q, k=20)
+        got, total = reader.search_with_total(q, k=20)
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in expected.score_docs], q
+        assert total == expected.total_hits

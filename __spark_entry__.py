@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.functions import valuesource as vs
+from lucene_solr_spark.operators import highlight as hl
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
 from lucene_solr_spark.operators import streamexpr as sx
@@ -243,6 +244,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, sf: tp.doc_fingerprint(_docs(s, sf), "text").select(
         "id", "digest", F.size("fingerprints").alias("n_fp")
     )
+
+    # ---- enrichment (SURVEY.md §2.13: grouping / MLT / suggest / highlight)
+    q["group_top2_orders"] = lambda s, sf: sx.group_top_k(
+        _t(s, sf, "orders"), "o_custkey", 2,
+        F.desc("o_totalprice"), F.asc("o_orderkey"),
+    ).select("o_custkey", "group_rank", "o_orderkey",
+             F.round("o_totalprice", 2).alias("price"))
+    q["mlt_similar"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf).more_like_this(
+            "spark merge vector partition batch window", k=10)
+    )
+    q["suggest_terms"] = lambda s, sf: s.createDataFrame(
+        _index_for(s, sf).suggest("s", n=10), "term string, df long"
+    )
+    q["highlight_hits"] = lambda s, sf: hl.highlight(
+        _index_for(s, sf).fetch(_index_for(s, sf).search("content:spark", k=5))
+        .join(load_source_table(s, sf).select("doc_id", "content"), "doc_id"),
+        "content", ["spark"],
+    ).select("doc_id", F.size("snippets").alias("n_snippets"),
+             F.element_at("snippets", 1).alias("first_snippet"))
 
     # ---- function queries (SURVEY.md §2.10 ValueSource library)
     q["fq_termfreq"] = lambda s, sf: _index_for(s, sf).termfreq("value")
@@ -473,6 +494,15 @@ def oracle_sql() -> dict[str, str]:
                                      t -> t = 'value')) AS tf
               FROM documents
             ) WHERE tf > 0
+        """,
+        "group_top2_orders": """
+            SELECT o_custkey, group_rank, o_orderkey, ROUND(o_totalprice, 2) AS price
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS group_rank
+              FROM orders
+            ) WHERE group_rank <= 2
         """,
         "fq_map_recip_linear": """
             SELECT l_orderkey, l_linenumber,

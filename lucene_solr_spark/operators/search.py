@@ -769,6 +769,47 @@ class IndexReader:
         """(doc_id, norm_byte, dl) — the norm ValueSource."""
         return self.docmeta.select("doc_id", "norm_byte", "dl")
 
+    # -- MoreLikeThis (`[U] lucene/queries/.../mlt/MoreLikeThis.java`):
+    # pick the text's top tf*idf terms against THIS index's stats and
+    # run them as a disjunction.
+    def more_like_this_query(self, text: str, max_query_terms: int = 25,
+                             min_doc_freq: int = 2,
+                             min_term_freq: int = 1) -> Query:
+        from collections import Counter
+
+        from ..analysis import tokenize
+
+        tf = Counter(tokenize(text, self.manifest.analyzer))
+        dfs = self.global_dfs([t for t, c in tf.items() if c >= min_term_freq])
+        scored = [
+            (c * float(idf_fn(dfs[t], self.doc_count)), t)
+            for t, c in tf.items()
+            if t in dfs and dfs[t] >= min_doc_freq and c >= min_term_freq
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        chosen = sorted(t for _, t in scored[:max_query_terms])
+        if not chosen:
+            return BooleanQuery()
+        return rewrite(BooleanQuery(should=tuple(TermQuery(t) for t in chosen)))
+
+    def more_like_this(self, text: str, k: int = 10, **kw) -> DataFrame:
+        return self.search(self.more_like_this_query(text, **kw), k=k)
+
+    # -- suggester (`[U] lucene/suggest/` analog): most-frequent terms
+    # under a prefix, ranked by docFreq desc then term.
+    def suggest(self, prefix: str, n: int = 10) -> List[Tuple[str, int]]:
+        p = prefix.lower()
+        if self._df_map is not None:
+            cands = [(t, df) for t, df in self._df_map.items() if t.startswith(p)]
+            cands.sort(key=lambda x: (-x[1], x[0]))
+            return cands[:n]
+        rows = (
+            self.postings.filter(F.col("term").startswith(p))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(n).collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
 
 def _contains_matchall(q: Query) -> bool:
     if isinstance(q, MatchAllQuery):

@@ -269,3 +269,16 @@ def join_scored(matched: DataFrame, to: DataFrame, from_key: str, to_key: str,
         agg(score_col).alias("join_score")
     )
     return to.join(scored, to_key, "inner")
+
+
+def group_top_k(df: DataFrame, key: str, n: int, *order: Column) -> DataFrame:
+    """Result grouping (`[U] lucene/grouping/` / Solr group=true): the
+    top ``n`` rows per ``key`` — generalizes collapse() from 1 to n."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .withColumnRenamed("_rn", "group_rank")
+    )

@@ -50,6 +50,17 @@ __all__ = [
 
 # ------------------------------------------------------------ exact dedup
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Python-kernel ops need input parallelism >= cores: a small
+    single-file parquet source arrives as ONE partition and would run
+    the whole mapInPandas serially."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -184,7 +195,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}
         for pdf in it:
-            ids, bands, keys = [], [], []
+            ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in _tok_split(text) if t]
                 hs = _hash_shingles(toks, n, memo)
@@ -192,18 +203,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                     continue
                 # (n_shingles, n_perm) universal hash, min over shingles
                 m = (hs[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                sig = m.min(axis=0)
-                for band in range(n_bands):
-                    chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                    h = 1469598103934665603
-                    for v in chunk:
-                        h = ((h ^ int(v)) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-                    ids.append(doc_id)
-                    bands.append(band)
-                    keys.append(h >> 1)
-            yield pd.DataFrame({"id": ids, "band": bands, "band_key": keys})
+                ids.append(doc_id)
+                sigs.append(m.min(axis=0))
+            if not ids:
+                yield pd.DataFrame({"id": [], "band": [], "band_key": []})
+                continue
+            # band keys for the whole batch in one vectorized FNV sweep
+            # over (docs, bands, rows_per_band)
+            sig = np.stack(sigs).astype(np.uint64).reshape(
+                len(ids), n_bands, rows_per_band
+            )
+            with np.errstate(over="ignore"):
+                h = np.full((len(ids), n_bands), np.uint64(1469598103934665603))
+                for r in range(rows_per_band):
+                    h = (h ^ sig[:, :, r]) * np.uint64(1099511628211)
+            keys = (h >> np.uint64(1)).astype(np.int64)
+            yield pd.DataFrame({
+                "id": np.repeat(np.asarray(ids, dtype=np.int64), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(ids)),
+                "band_key": keys.reshape(-1),
+            })
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="id long, band int, band_key long"
     )
 
@@ -287,7 +308,7 @@ def simhash64(df: DataFrame, text_col: str = "text",
                 hashes.append(int(sh.astype(np.int64)))  # store as signed
             yield pd.DataFrame({"id": ids, "simhash": hashes})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="id long, simhash long"
     )
 
@@ -414,7 +435,7 @@ def language_id(df: DataFrame, text_col: str = "text",
                 "lang_score": np.round(best_score, 6),
             })
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="id long, lang_pred string, lang_score double"
     )
 
@@ -464,6 +485,6 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
                 digs.append(dig - (1 << 64) if dig >= (1 << 63) else dig)
             yield pd.DataFrame({"id": ids, "fingerprints": fps, "digest": digs})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="id long, fingerprints array<long>, digest long"
     )

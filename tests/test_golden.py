@@ -27,7 +27,7 @@ with open(os.path.join(FIXDIR, "golden_topdocs.json")) as fh:
     _GOLD = {(g["query_id"], g["k"]): g for g in json.load(fh)}
 
 QUERIES = {q["query_id"]: q for q in _Q["queries"]}
-FULL_SWEEP = {1, 2, 12, 13, 24, 28}  # all ks for these; k=10 for the rest
+FULL_SWEEP = {1, 2, 12, 13, 24, 28, 32, 36, 38}  # all ks; k=10 for the rest
 
 
 def _golden_pairs(qid, k):
@@ -81,4 +81,4 @@ def test_engine_matches_frozen_golden(golden_index):
             )
             assert got_total == exp_total, f"total_hits q{q['query_id']} k={k}"
             n_checked += 1
-    assert n_checked == 24 + 3 * len(FULL_SWEEP)
+    assert n_checked == (len(QUERIES) - len(FULL_SWEEP)) + 3 * len(FULL_SWEEP)

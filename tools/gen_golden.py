@@ -62,6 +62,17 @@ FIXED_QUERIES = [
     ("bool_mixed", "spark OR merge NOT query"),
     ("bool_mixed", "(val OR var) AND NOT (lambda OR def)"),
     ("bool_mixed", "NOT def"),
+    # --- multiterm / boost / sloppy (10): round-1 query-surface pins
+    ("prefix", "spar*"),
+    ("prefix", "ident_00*"),
+    ("wildcard", "id?nt_0001"),
+    ("wildcard", "*_4900"),
+    ("fuzzy", "spark~1"),
+    ("fuzzy", "merg~2"),
+    ("regexp", "/sp[aeiou]rk/"),
+    ("range", "[spark TO spars]"),
+    ("boost", "spark^2 OR merge"),
+    ("sloppy", '"def class"~3'),
 ]
 
 
@@ -87,7 +98,7 @@ def main():
     ] + [("phrase", '"%s %s %s"' % top_tri[0])]
 
     all_queries = FIXED_QUERIES + phrase_queries
-    assert len(all_queries) == 30
+    assert len(all_queries) == 40
 
     queries_json = [
         {"query_id": i + 1, "kind": kind, "text": text, "k": KS}

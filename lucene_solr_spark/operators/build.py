@@ -508,7 +508,26 @@ def build_index(
     done = set(prev.seg_ids) if prev else set()
 
     src = source.withColumn("seg", (F.col("doc_id") / docs_per_seg).cast("int"))
-    todo = src.filter(~F.col("seg").isin(*done)) if done else src
+    # resume must skip every COVERED DOC RANGE, not segment ids: merges
+    # renumber segments (into the MERGE_SEG_BASE namespace), so a doc
+    # range committed under a merged segment would otherwise be rebuilt
+    # under its original build-time id -> duplicated docs.
+    if prev and prev.segments:
+        intervals = sorted(
+            (s["doc_base"], s["doc_base"] + s["n_docs"]) for s in prev.segments
+        )
+        covered = [list(intervals[0])]
+        for lo, hi in intervals[1:]:
+            if lo <= covered[-1][1]:
+                covered[-1][1] = max(covered[-1][1], hi)
+            else:
+                covered.append([lo, hi])
+        cond = F.lit(False)
+        for lo, hi in covered:
+            cond = cond | ((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        todo = src.filter(~cond)
+    else:
+        todo = src
 
     # sha256 JVM-side (codegen); ONE job: raw docs shuffle once keyed by
     # seg (the DWPT routing). Each task writes its segments' parquet

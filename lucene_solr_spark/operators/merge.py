@@ -52,6 +52,9 @@ from .build import (
 
 MERGED_POSTINGS_SCHEMA = POSTINGS_SCHEMA + ", first_doc_key long"
 
+# merged-segment id namespace, disjoint from build ids (doc//docs_per_seg)
+MERGE_SEG_BASE = 1_000_000_000
+
 
 # ----------------------------------------------------------------- policy
 
@@ -155,7 +158,10 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     if missing:
         raise ValueError(f"segments not in manifest: {sorted(missing)}")
     srcs = sorted((by_id[s] for s in seg_ids), key=lambda s: s["doc_base"])
-    new_seg = max(by_id) + 1
+    # merged segments live in a DISJOINT id namespace: build ids are
+    # doc_id // docs_per_seg (< 1e9 up to ~4*10^12 docs at the default
+    # segment size), so build resume after a merge can never collide
+    new_seg = max(MERGE_SEG_BASE - 1, max(by_id)) + 1
     seg_order = {s["seg"]: i for i, s in enumerate(srcs)}
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -77,7 +77,7 @@ _DOCMETA_COLS = ["doc_id", "repo", "path", "commit", "lang", "dl", "norm_byte", 
 # task itself, Lucene-style)
 STATS_SCHEMA = (
     "seg int, n_docs long, doc_base long, sum_dl long, "
-    "n_terms long, n_postings long, fp_sum long"
+    "n_terms long, n_postings long, fp_sum long, postings_bytes long"
 )
 
 
@@ -356,6 +356,7 @@ def make_segment_writer(index_dir: str, analyzer: str = "standard",
         fp = 0
         for s in sub["sha256"].to_pylist():
             fp ^= int(s[:15], 16)
+        pfile = os.path.join(index_dir, "postings", f"seg={seg}", "part-00000.parquet")
         return {
             "seg": int(seg),
             "n_docs": len(sub),
@@ -364,12 +365,14 @@ def make_segment_writer(index_dir: str, analyzer: str = "standard",
             "n_terms": int(seg_n_terms),
             "n_postings": int(seg_n_postings),
             "fp_sum": fp,
+            "postings_bytes": os.path.getsize(pfile),
         }
 
     stats_pa = pa.schema([
         ("seg", pa.int32()), ("n_docs", pa.int64()), ("doc_base", pa.int64()),
         ("sum_dl", pa.int64()), ("n_terms", pa.int64()),
         ("n_postings", pa.int64()), ("fp_sum", pa.int64()),
+        ("postings_bytes", pa.int64()),
     ])
 
     def kernel(batches):
@@ -560,6 +563,7 @@ def build_index(
             "n_terms": int(r["n_terms"] or 0),
             "n_postings": int(r["n_postings"] or 0),
             "input_fingerprint": f"{int(r['fp_sum'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}",
+            "postings_bytes": int(r.get("postings_bytes") or 0),
             "source": "build",
         })
 

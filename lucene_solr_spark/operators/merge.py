@@ -202,6 +202,11 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     fp = 0
     for s in srcs:
         fp ^= int(s["input_fingerprint"], 16)
+    pdir = os.path.join(index_dir, "postings", f"seg={new_seg}")
+    postings_bytes = sum(
+        os.path.getsize(os.path.join(pdir, f))
+        for f in os.listdir(pdir) if f.endswith(".parquet")
+    ) if os.path.isdir(pdir) else 0
     new_entry = {
         "seg": int(new_seg),
         "n_docs": sum(s["n_docs"] for s in srcs),
@@ -210,6 +215,7 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
         "n_terms": int(n_terms),
         "n_postings": sum(s["n_postings"] for s in srcs),
         "input_fingerprint": f"{fp:016x}",
+        "postings_bytes": int(postings_bytes),
         "source": "merge(" + ",".join(str(s["seg"]) for s in srcs) + ")",
     }
     keep = [s for s in m.segments if s["seg"] not in set(seg_ids)]

@@ -728,11 +728,28 @@ class IndexReader:
             )
             src = src.join(carrier, "seg", "right")
         # co-locate each segment's rows (correctness: a doc's clause
-        # scores sum within one kernel), then one streamed kernel per
-        # task instead of one per segment
+        # scores sum within one kernel). When every segment's postings
+        # file is smaller than maxPartitionBytes, Spark never splits a
+        # file across tasks, so the scan ALREADY co-locates each
+        # segment and the repartition shuffle is skipped; otherwise (or
+        # with MatchAll carrier rows, which arrive via a join) shuffle
+        # by seg. One streamed kernel per task either way.
+        if not has_matchall and self._segments_unsplittable():
+            return src.mapInPandas(kernel, schema=RESULT_SCHEMA)
         n_parts = max(1, min(len(self.manifest.seg_ids),
                              self.spark.sparkContext.defaultParallelism))
         return src.repartition(n_parts, "seg").mapInPandas(kernel, schema=RESULT_SCHEMA)
+
+    def _segments_unsplittable(self) -> bool:
+        raw = self.spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                  str(128 * 1024 * 1024)).lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        m = __import__("re").fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
+        if not m:
+            return False  # unparseable config -> keep the safe shuffle
+        max_split = int(m.group(1)) * units.get(m.group(2), 1)
+        sizes = [s.get("postings_bytes", 0) for s in self.manifest.segments]
+        return all(0 < b < max_split for b in sizes)
 
     def count(self, query: str | Query) -> int:
         _, total = self.search_with_total(query, k=1)

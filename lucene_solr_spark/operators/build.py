@@ -43,7 +43,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis import tokenize_series
 from ..functions.smallfloat import encode_norms
 from ..functions.varint import encode_varint_with_lengths
 

@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    q["bm25_stop_analyzer_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="standard_stop").search("spark OR merge", k=10)
+    )
+
     # ---- facets (SURVEY.md §2.6)
     q["facet_field_lang"] = lambda s, sf: sx.facet_field(_docs(s, sf), "lang")
     q["facet_pivot_lang_source"] = lambda s, sf: sx.facet_pivot(_docs(s, sf), ["lang", "source"])

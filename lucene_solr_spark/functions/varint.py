@@ -87,6 +87,21 @@ def decode_varint(buf: bytes | bytearray | memoryview | np.ndarray) -> np.ndarra
     return vals.astype(np.int64)
 
 
+def varint_value_offsets(buf: bytes | np.ndarray) -> np.ndarray:
+    """Byte offset of each value boundary in a LEB128 stream (length
+    n_values+1) — lets callers SLICE an existing stream at value
+    granularity without decoding it (the merge path re-uses tf/pos
+    blobs byte-for-byte)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.zeros(1, dtype=np.int64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    out = np.empty(len(ends) + 1, dtype=np.int64)
+    out[0] = 0
+    out[1:] = ends + 1
+    return out
+
+
 def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
     """Strictly/weakly increasing ints -> first value + successive deltas."""
     v = np.asarray(sorted_values, dtype=np.int64)

@@ -90,57 +90,148 @@ def plan_merges(manifest: Manifest, segs_per_tier: int = 10,
 
 def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
                           shard_postings: int = DEFAULT_SHARD_POSTINGS):
-    """applyInPandas kernel over (term_bucket, salt): k-way doc-ordered
-    merge of each term's posting rows across source segments."""
+    """mapInPandas-style kernel over (term_bucket, salt) groups: k-way
+    doc-ordered merge of each term's posting rows across source
+    segments, fully batched:
+
+    - tf / pos / norms blobs are BYTE-CONCATENATED, never re-encoded —
+      a varint stream whose per-posting values reset at posting starts
+      concatenates into another valid stream, and value-boundary byte
+      offsets come from one flag scan (varint_value_offsets);
+    - only DOC deltas are re-encoded (block boundaries move), in ONE
+      batched decode + ONE batched encode per task group, mirroring the
+      build kernel's single-pass structure.
+    """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .build import _POSTING_COLS
+        from ..functions.varint import (
+            decode_varint,
+            encode_varint_with_lengths,
+            varint_value_offsets,
+        )
+        from .build import BLOCK_SIZE, _POSTING_COLS
 
         out = {c: [] for c in _POSTING_COLS + ["seg", "first_doc_key"]}
-        pdf = pdf.assign(_ord=pdf["seg"].map(seg_order))
-        pdf = pdf.sort_values(["term", "_ord", "shard"], kind="mergesort")
-        for term, g in pdf.groupby("term", sort=False):
-            # doc ranges of source segs are disjoint and _ord-sorted, so
-            # concatenating decoded rows in seg order IS the doc-sorted
-            # merge; then re-encode (re-blocked at 128)
-            rows = g.to_dict("records")
-            docs = np.concatenate([decode_docs(r) for r in rows])
-            tfs = np.concatenate([decode_tfs(r) for r in rows])
-            norms = np.concatenate([decode_norms(r) for r in rows]).astype(np.int64)
-            pos_concat = np.concatenate([
-                decode_positions_concat(r, decode_tfs(r)) for r in rows
-            ]) if int(tfs.sum()) else np.empty(0, np.int64)
-            # re-delta positions: absolute at each posting start
-            bounds = np.cumsum(tfs)
-            starts = np.zeros(len(tfs), dtype=np.int64)
-            starts[1:] = bounds[:-1]
-            pos_delta = np.empty(len(pos_concat), dtype=np.int64)
-            if len(pos_concat):
-                pos_delta[0] = pos_concat[0]
-                np.subtract(pos_concat[1:], pos_concat[:-1], out=pos_delta[1:])
-                pos_delta[starts] = pos_concat[starts]
-            row0 = g.iloc[0]
-            n = len(docs)
-            for shard_idx, s in enumerate(range(0, n, shard_postings)):
-                e = min(s + shard_postings, n)
-                p_lo = bounds[s - 1] if s else 0
-                p_hi = bounds[e - 1]
-                enc = encode_posting_list(
-                    docs[s:e], tfs[s:e], norms[s:e],
-                    pos_delta[p_lo:p_hi], bounds[s:e] - p_lo,
-                )
-                out["field"].append(row0["field"])
+        if not len(pdf):
+            return pd.DataFrame(out)
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        t_codes, t_uniq = pd.factorize(cols["term"], sort=False)
+        ord_arr = np.fromiter(
+            (seg_order[s] for s in cols["seg"]), dtype=np.int64, count=len(pdf))
+        idx = np.lexsort((cols["shard"], ord_arr, t_codes))
+
+        df_r = cols["df"][idx].astype(np.int64)
+        c_sorted = t_codes[idx]
+        row_t_starts = np.flatnonzero(np.r_[True, np.diff(c_sorted) != 0])
+        row_t_ends = np.append(row_t_starts[1:], len(c_sorted))
+
+        # posting-space offsets per row / per term
+        row_off = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(df_r, out=row_off[1:])
+        n_post = int(row_off[-1])
+        term_starts = row_off[row_t_starts]
+        term_ends = row_off[row_t_ends]
+
+        # batched decode of doc ids (absolute resets at original block
+        # starts make the concatenated stream self-describing)
+        docs_cat = b"".join(cols["docs"][i] for i in idx)
+        d = decode_varint(docs_cat)
+        blk_n_all = np.concatenate([
+            np.asarray(cols["blk_n"][i], dtype=np.int64) for i in idx])
+        ob_starts = np.zeros(len(blk_n_all), dtype=np.int64)
+        ob_starts[1:] = np.cumsum(blk_n_all)[:-1]
+        csum = np.cumsum(d)
+        corr = np.zeros(len(blk_n_all), dtype=np.int64)
+        corr[1:] = csum[ob_starts[1:] - 1]
+        docs_all = csum - np.repeat(corr, blk_n_all)
+
+        # tf values (needed for stats + position boundaries); blob bytes reused
+        tfs_cat = b"".join(cols["tfs"][i] for i in idx)
+        tf_all = decode_varint(tfs_cat)
+        tf_boff = varint_value_offsets(tfs_cat)          # n_post+1
+        pos_cat = b"".join(cols["pos"][i] for i in idx)
+        pos_boff = varint_value_offsets(pos_cat)         # n_positions+1
+        norms_cat = b"".join(cols["norms"][i] for i in idx)
+        norms_all = np.frombuffer(norms_cat, dtype=np.uint8).astype(np.int64)
+        pos_excl = np.zeros(n_post + 1, dtype=np.int64)
+        np.cumsum(tf_all, out=pos_excl[1:])
+
+        # new 128-block grid per term (shard boundaries align: multiple
+        # of BLOCK_SIZE)
+        nb = (term_ends - term_starts + BLOCK_SIZE - 1) // BLOCK_SIZE
+        blk_of_term = np.repeat(np.arange(len(term_starts)), nb)
+        blk_local = np.arange(int(nb.sum()), dtype=np.int64) - \
+            np.repeat(np.cumsum(nb) - nb, nb)
+        b_starts = term_starts[blk_of_term] + blk_local * BLOCK_SIZE
+        b_ends = np.minimum(b_starts + BLOCK_SIZE, term_ends[blk_of_term])
+        blk_bounds = np.zeros(len(term_starts) + 1, dtype=np.int64)
+        np.cumsum(nb, out=blk_bounds[1:])
+
+        # re-encode ONLY doc deltas, reset at the new block starts
+        ddel = np.empty(n_post, dtype=np.int64)
+        ddel[0] = docs_all[0]
+        np.subtract(docs_all[1:], docs_all[:-1], out=ddel[1:])
+        ddel[b_starts] = docs_all[b_starts]
+        docs_buf, dlen = encode_varint_with_lengths(ddel)
+        dboff = np.zeros(n_post + 1, dtype=np.int64)
+        np.cumsum(dlen, out=dboff[1:])
+
+        blk_first_g = docs_all[b_starts]
+        blk_last_g = docs_all[b_ends - 1]
+        blk_n_g = (b_ends - b_starts).astype(np.int32)
+        blk_max_tf_g = np.maximum.reduceat(tf_all, b_starts).astype(np.int32)
+        blk_min_norm_g = np.minimum.reduceat(norms_all, b_starts).astype(np.int32)
+        cum_tf_t = np.add.reduceat(tf_all, term_starts)
+        max_tf_t = np.maximum.reduceat(tf_all, term_starts)
+        min_norm_t = np.minimum.reduceat(norms_all, term_starts)
+
+        field0 = cols["field"][0]
+        bucket_r = cols["term_bucket"][idx]
+        for t in range(len(term_starts)):
+            ts, te = int(term_starts[t]), int(term_ends[t])
+            term = t_uniq[c_sorted[row_t_starts[t]]]
+            b0, b1 = int(blk_bounds[t]), int(blk_bounds[t + 1])
+            if te - ts <= shard_postings:
+                shard_ranges = [(ts, te, b0, b1, 0)]
+            else:
+                shard_ranges = []
+                bps = shard_postings // BLOCK_SIZE
+                for si, s0 in enumerate(range(ts, te, shard_postings)):
+                    e0 = min(s0 + shard_postings, te)
+                    sb0 = b0 + si * bps
+                    sb1 = min(sb0 + bps, b1)
+                    shard_ranges.append((s0, e0, sb0, sb1, si))
+            for (s0, e0, sb0, sb1, si) in shard_ranges:
+                d_lo, t_lo = dboff[s0], tf_boff[s0]
+                p_lo = pos_boff[pos_excl[s0]]
+                out["field"].append(field0)
                 out["term"].append(term)
-                out["term_bucket"].append(int(row0["term_bucket"]))
+                out["term_bucket"].append(int(bucket_r[row_t_starts[t]]))
                 out["seg"].append(new_seg)
-                out["shard"].append(shard_idx)  # renumbered later if salted
-                out["df"].append(int(e - s))
-                out["cum_tf"].append(int(tfs[s:e].sum()))
-                out["max_tf"].append(int(tfs[s:e].max()))
-                out["min_norm"].append(int(norms[s:e].min()))
-                for k, v in enc.items():
-                    out[k].append(v)
-                out["first_doc_key"].append(int(docs[s]))
+                out["shard"].append(si)
+                out["df"].append(int(e0 - s0))
+                out["cum_tf"].append(int(cum_tf_t[t]) if len(shard_ranges) == 1
+                                     else int(tf_all[s0:e0].sum()))
+                out["max_tf"].append(int(max_tf_t[t]) if len(shard_ranges) == 1
+                                     else int(tf_all[s0:e0].max()))
+                out["min_norm"].append(int(min_norm_t[t]) if len(shard_ranges) == 1
+                                       else int(norms_all[s0:e0].min()))
+                out["blk_first"].append(blk_first_g[sb0:sb1].tolist())
+                out["blk_last"].append(blk_last_g[sb0:sb1].tolist())
+                out["blk_n"].append(blk_n_g[sb0:sb1].tolist())
+                out["blk_max_tf"].append(blk_max_tf_g[sb0:sb1].tolist())
+                out["blk_min_norm"].append(blk_min_norm_g[sb0:sb1].tolist())
+                out["blk_doc_off"].append(
+                    (dboff[b_starts[sb0:sb1]] - d_lo).astype(np.int32).tolist())
+                out["blk_tf_off"].append(
+                    (tf_boff[b_starts[sb0:sb1]] - t_lo).astype(np.int32).tolist())
+                out["blk_pos_off"].append(
+                    (pos_boff[pos_excl[b_starts[sb0:sb1]]] - p_lo).astype(np.int32).tolist())
+                out["docs"].append(docs_buf[d_lo:dboff[e0]])
+                out["tfs"].append(tfs_cat[t_lo:tf_boff[e0]])
+                out["pos"].append(pos_cat[p_lo:pos_boff[pos_excl[e0]]])
+                out["norms"].append(norms_cat[s0:e0])
+                out["first_doc_key"].append(int(docs_all[s0]))
         return pd.DataFrame(out)
 
     return kernel
@@ -149,7 +240,16 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
 def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
                    shard_postings: int = DEFAULT_SHARD_POSTINGS) -> Manifest:
     """Merge ``seg_ids`` (doc_base-adjacent) into one new segment and
-    commit a new manifest generation."""
+    commit a new manifest generation.
+
+    ``shard_postings`` is rounded UP to a multiple of the 128-doc block
+    size (shard boundaries must fall on block boundaries in the flat
+    posting format).
+    """
+    from .build import BLOCK_SIZE
+
+    shard_postings = max(BLOCK_SIZE,
+                         -(-shard_postings // BLOCK_SIZE) * BLOCK_SIZE)
     m = read_manifest(index_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest under {index_dir}")

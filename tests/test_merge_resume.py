@@ -160,7 +160,9 @@ def test_hot_term_sharded_merge(spark, corpus, tmp_path):
     expected = {q: baseline.search_with_total(q, k=30) for q in MERGE_QUERIES}
 
     m0 = read_manifest(d)
-    m1 = merge_segments(spark, d, m0.seg_ids, shard_postings=32)
+    # 128 == one block per shard (the minimum after block-alignment
+    # rounding); the tiny-vocab corpus has df ~500 per term -> 4 shards
+    m1 = merge_segments(spark, d, m0.seg_ids, shard_postings=128)
     assert len(m1.seg_ids) == 1
 
     merged = IndexReader(spark, d)

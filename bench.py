@@ -86,6 +86,15 @@ def main() -> None:
     n_docs = manifest.doc_count
     docs_per_sec = n_docs / timings["index_build"] if timings["index_build"] else 0.0
 
+    # ---- tiered merge (the full Lucene pipeline: build -> merge -> query)
+    from lucene_solr_spark.operators.merge import force_merge, vacuum
+
+    merged = timed(
+        "segment_merge",
+        lambda: force_merge(spark, idx_dir, segs_per_tier=10, max_merge_at_once=64),
+    )
+    vacuum(idx_dir)
+
     idx = IndexReader(spark, idx_dir)
 
     # ---- BM25 query path (k=10, exact global stats, MaxScore pruning);
@@ -144,7 +153,8 @@ def main() -> None:
             "cpus": cpus,
             "n_docs": n_docs,
             "index_docs_per_sec": round(docs_per_sec, 2),
-            "n_segments": len(manifest.seg_ids),
+            "n_segments_built": len(manifest.seg_ids),
+            "n_segments_merged": len(merged.seg_ids),
         },
     }
     line = json.dumps(result)

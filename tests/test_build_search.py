@@ -108,3 +108,26 @@ def test_fetch_stored_fields(index):
     for r in fetched:
         assert r["repo"] and r["path"] and r["commit"]
         assert r["sha256"] is not None
+
+
+def test_fastpath_equals_shuffle_path(spark, tmp_path):
+    """The no-shuffle scan fast path (segment files below
+    maxPartitionBytes) must return exactly what the repartition path
+    returns."""
+    from lucene_solr_spark.sources import load_source_table
+
+    corpus = load_source_table(spark, "/root/testdata/sf0.001")
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)
+    idx = IndexReader(spark, d)
+    assert idx._segments_unsplittable()
+    queries = ["spark", "spark OR merge OR vector", "hash AND join",
+               '"batch batch"', "spar*", "(hash OR scan) AND NOT merge"]
+    fast = {q: idx.search_with_total(q, k=20) for q in queries}
+    # disable the fast path by pretending sizes are unknown
+    idx2 = IndexReader(spark, d)
+    for s in idx2.manifest.segments:
+        s["postings_bytes"] = 0
+    assert not idx2._segments_unsplittable()
+    for q in queries:
+        assert idx2.search_with_total(q, k=20) == fast[q], q

@@ -189,10 +189,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         F.col("n") > 100,
     )
+    # bucket is returned as a STRING day: r01 showed a hash mismatch on
+    # this entry with identical values — the only timestamp-typed output
+    # column in the contract — so the timestamp leaves the result schema
+    # entirely (tz/serialization-proof on both Spark and DuckDB sides)
     q["timeseries_events_daily"] = lambda s, sf: sx.timeseries_stream(
         _t(s, sf, "events"), "ts", "1 day",
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    ).select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        "cnt", "sum_value",
     )
     q["significant_terms_en"] = lambda s, sf: sx.significant_terms(
         _docs(s, sf).filter(F.col("lang") == "en"), _docs(s, sf), "source"
@@ -400,7 +407,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) > 100
         """,
         "timeseries_events_daily": """
-            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket_start, COUNT(*) AS cnt,
+            SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS cnt,
                    SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1
         """,

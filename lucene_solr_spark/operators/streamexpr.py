@@ -212,18 +212,27 @@ def significant_terms(fg: DataFrame, bg: DataFrame, fld: str,
                       min_doc_freq: int = 1, limit: int = 20) -> DataFrame:
     """`[U] solr/solrj/.../io/stream/SignificantTermsStream.java` —
     foreground-vs-background term relevance: score = fg_ratio/bg_ratio."""
-    fgc = fg.groupBy(fld).agg(F.count(F.lit(1)).alias("fg_cnt"))
-    bgc = bg.groupBy(fld).agg(F.count(F.lit(1)).alias("bg_cnt"))
-    fg_total = fg.count()
-    bg_total = bg.count()
+    wall = Window.partitionBy()
+    fgc = (
+        fg.groupBy(fld).agg(F.count(F.lit(1)).alias("fg_cnt"))
+        .withColumn("__fg_total", F.sum("fg_cnt").over(wall))
+    )
+    bgc = (
+        bg.groupBy(fld).agg(F.count(F.lit(1)).alias("bg_cnt"))
+        .withColumn("__bg_total", F.sum("bg_cnt").over(wall))
+    )
+    # totals fold into the same job as the per-term counts (window over
+    # the metadata-sized aggregate) — no separate fg.count()/bg.count()
+    # driver actions re-scanning the inputs
     return (
         fgc.join(bgc, fld)
         .filter(F.col("fg_cnt") >= min_doc_freq)
         .withColumn(
             "score",
-            (F.col("fg_cnt") / F.lit(float(fg_total)))
-            / (F.col("bg_cnt") / F.lit(float(bg_total))),
+            (F.col("fg_cnt") / F.col("__fg_total"))
+            / (F.col("bg_cnt") / F.col("__bg_total")),
         )
+        .drop("__fg_total", "__bg_total")
         .orderBy(F.desc("score"), F.asc(fld))
         .limit(limit)
     )

@@ -524,6 +524,7 @@ class IndexReader:
         self.sum_dl = m.sum_dl
         self.avgdl = self.sum_dl / self.doc_count if self.doc_count else 0.0
         self.cache = norm_cache(self.avgdl)
+        self._seg_files_cache: Optional[Dict[int, List[int]]] = None
         self._df_map: Optional[Dict[str, int]] = None
         if cache_stats:
             # LIMIT guard: if the distinct vocabulary exceeds the cap,
@@ -728,27 +729,93 @@ class IndexReader:
             )
             src = src.join(carrier, "seg", "right")
         # co-locate each segment's rows (correctness: a doc's clause
-        # scores sum within one kernel). When every segment's postings
-        # file is smaller than maxPartitionBytes, Spark never splits a
-        # file across tasks, so the scan ALREADY co-locates each
-        # segment and the repartition shuffle is skipped; otherwise (or
-        # with MatchAll carrier rows, which arrive via a join) shuffle
-        # by seg. One streamed kernel per task either way.
+        # scores sum within one kernel). When every segment is one
+        # parquet file smaller than the REAL scan split size (see
+        # _segments_unsplittable), whole-file bin-packing already
+        # co-locates each segment and the repartition shuffle is
+        # skipped; otherwise (or with MatchAll carrier rows, which
+        # arrive via a join) shuffle by seg. One streamed kernel per
+        # task either way.
         if not has_matchall and self._segments_unsplittable():
             return src.mapInPandas(kernel, schema=RESULT_SCHEMA)
         n_parts = max(1, min(len(self.manifest.seg_ids),
                              self.spark.sparkContext.defaultParallelism))
         return src.repartition(n_parts, "seg").mapInPandas(kernel, schema=RESULT_SCHEMA)
 
-    def _segments_unsplittable(self) -> bool:
-        raw = self.spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                  str(128 * 1024 * 1024)).lower()
+    def _bytes_conf(self, key: str, default: int) -> Optional[int]:
+        raw = str(self.spark.conf.get(key, str(default))).lower()
         units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
         m = __import__("re").fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
         if not m:
-            return False  # unparseable config -> keep the safe shuffle
-        max_split = int(m.group(1)) * units.get(m.group(2), 1)
-        sizes = [s.get("postings_bytes", 0) for s in self.manifest.segments]
+            return None  # unparseable -> caller keeps the safe shuffle
+        return int(m.group(1)) * units.get(m.group(2), 1)
+
+    def _seg_file_sizes(self) -> Optional[Dict[int, List[int]]]:
+        """Parquet file sizes per live segment dir (local-fs layout);
+        None when the listing fails (non-local store) -> safe shuffle."""
+        if self._seg_files_cache is None:
+            import os
+
+            out: Dict[int, List[int]] = {}
+            base = os.path.join(self.index_dir, "postings")
+            try:
+                for seg in self.manifest.seg_ids:
+                    d = os.path.join(base, f"seg={seg}")
+                    out[seg] = [
+                        os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d) if f.endswith(".parquet")
+                    ]
+            except OSError:
+                out = {}
+            self._seg_files_cache = out
+        return self._seg_files_cache or None
+
+    def _segments_unsplittable(self) -> bool:
+        """True only when the parquet scan PROVABLY co-locates every
+        segment's posting rows in one scan task, so the pre-kernel
+        ``repartition(seg)`` shuffle can be skipped:
+
+        - every live segment must be a SINGLE parquet file — Spark's
+          bin-packing assigns whole files to tasks with no segment
+          affinity, which is fine across segments (the kernel groups by
+          seg) but a multi-file segment could land in several tasks;
+        - every file must be smaller than Spark's REAL split size
+          ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+          totalBytes / minPartitionNum))`` (FilePartition planning), not
+          just maxPartitionBytes: with many cores or a lowered open
+          cost, files far below maxPartitionBytes still get split, and
+          a split segment yields partial BM25 sums / broken AND+phrase
+          semantics. The estimate below is conservative (largest
+          plausible parallelism denominator -> smallest split size).
+        """
+        files = self._seg_file_sizes()
+        if not files:
+            return False
+        if any(len(fs) != 1 for fs in files.values()):
+            return False
+        sizes = [fs[0] for fs in files.values()]
+        max_part = self._bytes_conf("spark.sql.files.maxPartitionBytes",
+                                    128 * 1024 * 1024)
+        open_cost = self._bytes_conf("spark.sql.files.openCostInBytes",
+                                     4 * 1024 * 1024)
+        if max_part is None or open_cost is None:
+            return False
+        sc = self.spark.sparkContext
+        par_candidates = [sc.defaultParallelism]
+        for key in ("spark.sql.files.minPartitionNum",
+                    "spark.sql.leafNodeDefaultParallelism"):
+            try:
+                v = self.spark.conf.get(key, None)
+            except Exception:
+                v = None
+            if v is not None:
+                try:
+                    par_candidates.append(int(v))
+                except ValueError:
+                    return False
+        min_part_num = max(1, max(par_candidates))
+        total = sum(sizes) + open_cost * len(sizes)
+        max_split = min(max_part, max(open_cost, total // min_part_num))
         return all(0 < b < max_split for b in sizes)
 
     def count(self, query: str | Query) -> int:

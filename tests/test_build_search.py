@@ -124,10 +124,51 @@ def test_fastpath_equals_shuffle_path(spark, tmp_path):
     queries = ["spark", "spark OR merge OR vector", "hash AND join",
                '"batch batch"', "spar*", "(hash OR scan) AND NOT merge"]
     fast = {q: idx.search_with_total(q, k=20) for q in queries}
-    # disable the fast path by pretending sizes are unknown
+    # disable the fast path by pretending the file listing failed
     idx2 = IndexReader(spark, d)
-    for s in idx2.manifest.segments:
-        s["postings_bytes"] = 0
+    idx2._seg_files_cache = {}
     assert not idx2._segments_unsplittable()
     for q in queries:
         assert idx2.search_with_total(q, k=20) == fast[q], q
+
+
+def test_fastpath_guard_respects_real_split_size(spark, tmp_path):
+    """ADVICE r1 (high): Spark's real split size is
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartNum)),
+    so with a lowered open cost + raised partition floor Spark splits
+    files far below maxPartitionBytes. The guard must refuse the
+    no-shuffle path under such configs and results must stay exact."""
+    from lucene_solr_spark.sources import load_source_table
+
+    corpus = load_source_table(spark, "/root/testdata/sf0.001")
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=256)
+    idx = IndexReader(spark, d)
+    assert idx._segments_unsplittable()
+    q = "spark OR merge OR vector"
+    baseline = idx.search_with_total(q, k=20)
+    try:
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        spark.conf.set("spark.sql.files.minPartitionNum", "1000")
+        assert not idx._segments_unsplittable()
+        assert idx.search_with_total(q, k=20) == baseline
+    finally:
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+
+
+def test_fastpath_refused_for_multifile_segments(spark, tmp_path):
+    """A merged segment written by Spark has multiple parquet files;
+    bin-packing has no segment affinity, so the guard must refuse."""
+    from lucene_solr_spark.operators.merge import merge_segments
+    from lucene_solr_spark.sources import load_source_table
+
+    corpus = load_source_table(spark, "/root/testdata/sf0.001")
+    d = str(tmp_path / "idx")
+    m = build_index(spark, corpus, d, docs_per_seg=64)
+    merge_segments(spark, d, m.seg_ids[:4])
+    idx = IndexReader(spark, d)
+    files = idx._seg_file_sizes()
+    if all(len(fs) == 1 for fs in files.values()):
+        pytest.skip("merge produced single-file segments on this config")
+    assert not idx._segments_unsplittable()

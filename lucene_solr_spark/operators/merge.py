@@ -13,11 +13,15 @@ Mirrors (SURVEY.md §2.3):
   (SURVEY.md §1.1), merging posting lists is a doc-ordered concat +
   re-block, not a docID remap: strictly cheaper than the reference's
   MappedMultiFields machinery.
-- north_star "salted repartition + sorted-merge": the shuffle key is
-  (term_bucket, salt) where salt is the build-time hot-term shard id,
-  so a hot term's merge work spreads over as many tasks as it had
-  shards; the cheap final shard renumbering is a window over posting
-  ROWS (one row per term x salt — metadata-sized, never postings-sized).
+- north_star "salted repartition + sorted-merge" / hot-term skew:
+  already-sharded (hot) terms bypass the merge kernel entirely — their
+  rows are doc-contiguous and block-valid as-is, so they pass through
+  as a pure-JVM projection (the heaviest rows never concentrate in any
+  shuffle group). Cold terms shuffle by term_bucket (1024-way spread),
+  where each group sees EVERY row of its terms so concat + re-shard
+  yields disjoint, ordered doc ranges per output row. The cheap final
+  shard renumbering is a window over posting ROWS (one row per term x
+  shard — metadata-sized, never postings-sized).
 
 The commit is again manifest-gated: the new segment's parquet is
 invisible until gen-N+1 lists it, and source segments simply stop being
@@ -90,7 +94,8 @@ def plan_merges(manifest: Manifest, segs_per_tier: int = 10,
 
 def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
                           shard_postings: int = DEFAULT_SHARD_POSTINGS):
-    """mapInPandas-style kernel over (term_bucket, salt) groups: k-way
+    """applyInPandas kernel over term_bucket groups of COLD (nowhere
+    sharded) terms — each group holds every row of its terms: k-way
     doc-ordered merge of each term's posting rows across source
     segments, fully batched:
 
@@ -268,14 +273,44 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     postings = spark.read.parquet(f"{index_dir}/postings").filter(
         F.col("seg").isin(list(seg_ids))
     )
-    # salted repartition: salt = build-time hot-term shard id, so a hot
-    # term's merge spreads across tasks (SURVEY.md §4.3)
-    merged = (
-        postings.withColumn("salt", F.col("shard"))
-        .groupBy("term_bucket", "salt")
-        .applyInPandas(_merge_kernel_factory(new_seg, seg_order, shard_postings),
-                       schema=MERGED_POSTINGS_SCHEMA)
+    # Correctness invariant (ADVICE r1, medium): across ALL output rows
+    # of a term, doc ranges must be disjoint so the query-side
+    # shard-ordered concat stays sorted. Concat + re-shard therefore
+    # requires a group to see EVERY row of a term — grouping by
+    # (bucket, shard) could interleave one salt group's re-sharded tail
+    # with another's. Split instead by term hotness:
+    #
+    # - HOT terms (sharded anywhere in the input, i.e. any shard > 0
+    #   row): each source row is already a doc-contiguous, block-valid
+    #   posting row, and source doc ranges are disjoint by global
+    #   doc_id assignment — so hot rows PASS THROUGH untouched,
+    #   pure-JVM (no Python, no re-encode), and only the final window
+    #   renumbers their shard ids in doc order. This also defuses
+    #   hot-term skew better than the old salt: the biggest rows never
+    #   enter a shuffle group at all.
+    # - COLD terms (shard == 0 everywhere): group by term_bucket — the
+    #   group holds every row of each term, so the kernel's
+    #   seg-ordered concat is a globally sorted stream and re-sharding
+    #   it yields disjoint ordered ranges. TERM_BUCKETS (1024) spreads
+    #   the cold work across tasks.
+    hot_terms = (
+        postings.filter(F.col("shard") > 0)
+        .select("term_bucket", "term").distinct()
     )
+    cold = postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
+                         "left_anti")
+    merged_cold = cold.groupBy("term_bucket").applyInPandas(
+        _merge_kernel_factory(new_seg, seg_order, shard_postings),
+        schema=MERGED_POSTINGS_SCHEMA,
+    )
+    passthrough = (
+        postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
+                      "left_semi")
+        .withColumn("seg", F.lit(int(new_seg)))
+        .withColumn("first_doc_key", F.element_at("blk_first", 1))
+        .select(*merged_cold.columns)
+    )
+    merged = merged_cold.unionByName(passthrough)
     # shard renumbering per term in doc order (metadata-sized window)
     w = Window.partitionBy("term").orderBy("first_doc_key")
     merged = (

@@ -175,3 +175,35 @@ def test_hot_term_sharded_merge(spark, corpus, tmp_path):
         assert merged.search_with_total(q, k=30) == expected[q], q
     report = verify_index(spark, d, source=corpus)
     assert report["ok"], report["problems"]
+
+
+def test_second_level_sharded_merge(spark, corpus, tmp_path):
+    """ADVICE r1 (medium): re-merging ALREADY-SHARDED segments must not
+    interleave doc ranges across a term's output rows. Two first-level
+    merges each produce sharded hot terms (tiny shard_postings), then
+    the second-level merge combines them; searches must stay
+    rank-identical to the pre-merge index and CheckIndex must pass."""
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)  # 8 segments
+    baseline = IndexReader(spark, d)
+    expected = {q: baseline.search_with_total(q, k=30) for q in MERGE_QUERIES}
+
+    m0 = read_manifest(d)
+    merge_segments(spark, d, m0.seg_ids[:4], shard_postings=128)
+    latest = merge_segments(spark, d, m0.seg_ids[4:], shard_postings=128)
+    # verify hot (multi-shard) terms exist in the inputs to the final merge
+    rdr_mid = IndexReader(spark, d)
+    n_sharded = (
+        rdr_mid.postings.filter(F.col("shard") > 0)
+        .select("term").distinct().count()
+    )
+    assert n_sharded > 0, "expected sharded terms before the second-level merge"
+
+    m_final = merge_segments(spark, d, latest.seg_ids, shard_postings=128)
+    assert len(m_final.seg_ids) == 1
+
+    merged = IndexReader(spark, d)
+    for q in MERGE_QUERIES:
+        assert merged.search_with_total(q, k=30) == expected[q], q
+    report = verify_index(spark, d, source=corpus)
+    assert report["ok"], report["problems"]

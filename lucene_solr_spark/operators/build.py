@@ -514,9 +514,19 @@ def build_index(
     # renumber segments (into the MERGE_SEG_BASE namespace), so a doc
     # range committed under a merged segment would otherwise be rebuilt
     # under its original build-time id -> duplicated docs.
+    # The covered range is the CONSTRUCTION range [seg*dps, (seg+1)*dps)
+    # recorded as (doc_lo, doc_hi): with sparse caller-assigned doc_ids
+    # the actual-extent interval [doc_base, doc_base+n_docs) undercovers
+    # a committed segment, and its leftover ids would be re-processed
+    # under the same seg id — the task's atomic rename then replaces the
+    # segment's parquet with only the leftovers while the manifest keeps
+    # the stale entry: silent data loss (ADVICE r1). Legacy entries
+    # without doc_lo/doc_hi fall back to the dense-extent interval.
     if prev and prev.segments:
         intervals = sorted(
-            (s["doc_base"], s["doc_base"] + s["n_docs"]) for s in prev.segments
+            (s.get("doc_lo", s["doc_base"]),
+             s.get("doc_hi", s["doc_base"] + s["n_docs"]))
+            for s in prev.segments
         )
         covered = [list(intervals[0])]
         for lo, hi in intervals[1:]:
@@ -558,6 +568,8 @@ def build_index(
             "seg": int(seg),
             "n_docs": int(r["n_docs"]),
             "doc_base": int(r["doc_base"]),
+            "doc_lo": int(seg) * docs_per_seg,
+            "doc_hi": (int(seg) + 1) * docs_per_seg,
             "sum_dl": int(r["sum_dl"]),
             "n_terms": int(r["n_terms"] or 0),
             "n_postings": int(r["n_postings"] or 0),

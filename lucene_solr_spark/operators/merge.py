@@ -346,6 +346,8 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
         "seg": int(new_seg),
         "n_docs": sum(s["n_docs"] for s in srcs),
         "doc_base": srcs[0]["doc_base"],
+        "doc_lo": min(s.get("doc_lo", s["doc_base"]) for s in srcs),
+        "doc_hi": max(s.get("doc_hi", s["doc_base"] + s["n_docs"]) for s in srcs),
         "sum_dl": sum(s["sum_dl"] for s in srcs),
         "n_terms": int(n_terms),
         "n_postings": sum(s["n_postings"] for s in srcs),

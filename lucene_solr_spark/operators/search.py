@@ -62,7 +62,6 @@ from ..plans.query import (
     query_terms,
     rewrite,
     scan_predicates,
-    wildcard_to_regex,
 )
 from .build import Manifest, _term_bucket_py, read_manifest
 
@@ -618,12 +617,17 @@ class IndexReader:
         t = F.col("term")
         if mq.kind == "prefix":
             return t.startswith(mq.pattern)
-        if mq.kind == "wildcard":
-            return t.rlike("^(?:" + wildcard_to_regex(mq.pattern) + ")$")
-        if mq.kind == "regexp":
-            # common Java/Python regex subset; anchored like Lucene's
-            # RegexpQuery full-term match
-            return t.rlike("^(?:" + mq.pattern + ")$")
+        if mq.kind in ("wildcard", "regexp"):
+            # scan filter is a guaranteed SUPERSET (literal-prefix
+            # pushdown only) — never evaluate the user pattern in the
+            # Java regex dialect; the kernel's Python predicate is the
+            # single source of match truth (ADVICE r1: dialect
+            # divergence silently dropped matches, and results differed
+            # between the cache_stats and fallback paths)
+            from ..plans.query import scan_prefix
+
+            pre = scan_prefix(mq)
+            return t.startswith(pre) if pre else t.isNotNull()
         if mq.kind == "range":
             cond = F.lit(True)
             if mq.lo:
@@ -641,14 +645,17 @@ class IndexReader:
         raise ValueError(f"unknown multiterm kind {mq.kind!r}")
 
     def _matching_terms(self, mq: MultiTermQuery) -> List[str]:
-        if self._df_map is not None:
-            from ..plans.query import multiterm_predicate
+        from ..plans.query import multiterm_predicate
 
-            pred = multiterm_predicate(mq)
+        pred = multiterm_predicate(mq)
+        if self._df_map is not None:
             return [t for t in self._df_map if pred(t)]
-        return [r["term"] for r in
-                self.postings.filter(self._multiterm_cond(mq))
-                .select("term").distinct().collect()]
+        # scan cond is a superset; Python predicate decides membership
+        return [t for t in (
+            r["term"] for r in
+            self.postings.filter(self._multiterm_cond(mq))
+            .select("term").distinct().collect()
+        ) if pred(t)]
 
     # -- search
     def search(self, query: str | Query, k: int = 10, prune: str = "maxscore",

@@ -47,6 +47,7 @@ __all__ = [
     "scan_predicates",
     "sloppy_phrase_freq",
     "multiterm_predicate",
+    "scan_prefix",
     "wildcard_to_regex",
     "levenshtein",
 ]
@@ -141,6 +142,39 @@ def wildcard_to_regex(pattern: str) -> str:
         else:
             out.append(re.escape(ch))
     return "".join(out)
+
+
+_REGEX_META = set(".^$*+?{}[]()|\\")
+
+
+def scan_prefix(q: MultiTermQuery) -> str:
+    """Longest LITERAL term prefix implied by a multiterm pattern — the
+    Catalyst scan pushdown, a guaranteed SUPERSET filter. The Python
+    ``multiterm_predicate`` stays the single source of match truth:
+    evaluating the user pattern via Spark's Java regex dialect could
+    silently drop terms wherever the two dialects diverge (ADVICE r1)."""
+    if q.kind == "prefix":
+        return q.pattern
+    if q.kind == "wildcard":
+        out = []
+        for ch in q.pattern:
+            if ch in "*?\\":
+                break
+            out.append(ch)
+        return "".join(out)
+    if q.kind == "regexp":
+        out = []
+        p = q.pattern
+        i = 0
+        while i < len(p):
+            if p[i] in _REGEX_META:
+                break
+            if i + 1 < len(p) and p[i + 1] in "*+?{":
+                break  # quantifier binds to this char — not literal
+            out.append(p[i])
+            i += 1
+        return "".join(out)
+    return ""
 
 
 def levenshtein(a: str, b: str, cap: int = 8) -> int:
@@ -381,8 +415,9 @@ class _Parser:
             assert colon[0] == "colon"
             return self._atom(val)
         if kind == "phrase":
-            slop = self._trailing_slop()
-            boost = self._trailing_boost()
+            slop, boost = self._trailing_slop_boost()
+            if boost == 1.0:
+                boost = self._trailing_boost()
             terms = tuple(tokenize(val.strip('"'), self.analyzer))
             if not terms:
                 # analyzes to nothing (e.g. all stopwords) -> matches
@@ -451,12 +486,19 @@ class _Parser:
             return float(val[1:])
         return 1.0
 
-    def _trailing_slop(self) -> int:
+    def _trailing_slop_boost(self) -> Tuple[int, float]:
+        """Parse a trailing ``~slop`` after a phrase, including the
+        combined single-token ``~slop^boost`` form ('"a b"~2^3' lexes
+        the suffix as ONE word token — ADVICE r1: the old slop-only
+        fullmatch let it fall through to the term path, silently
+        dropping both slop and boost)."""
         kind, val = self.lex.peek()
-        if kind == "word" and re.fullmatch(r"~\d+", val):
-            self.lex.next()
-            return int(val[1:])
-        return 0
+        if kind == "word":
+            m = re.fullmatch(r"~(\d+)(?:\^(\d+(?:\.\d+)?))?", val)
+            if m:
+                self.lex.next()
+                return int(m.group(1)), float(m.group(2)) if m.group(2) else 1.0
+        return 0, 1.0
 
 
 def _split_boost(val: str) -> Tuple[str, float]:

@@ -207,3 +207,32 @@ def test_second_level_sharded_merge(spark, corpus, tmp_path):
         assert merged.search_with_total(q, k=30) == expected[q], q
     report = verify_index(spark, d, source=corpus)
     assert report["ok"], report["problems"]
+
+
+def test_resume_with_sparse_doc_ids(spark, corpus, tmp_path):
+    """ADVICE r1 (low): a committed segment covers its CONSTRUCTION
+    range [seg*dps, (seg+1)*dps), not [doc_base, doc_base+n_docs); with
+    sparse caller-assigned doc_ids the old interval re-processed a
+    committed segment's leftover ids under the same seg id, and the
+    atomic rename replaced that segment's parquet with only the
+    leftovers — silent data loss on resume."""
+    d = str(tmp_path / "idx")
+    sparse = corpus.withColumn("doc_id", F.col("doc_id") * 3)
+    # segs 0..2 (ranges [0,64) [64,128) [128,192)) are COMPLETE for the
+    # full source too: every source id < 192 lands there
+    first = sparse.filter(F.col("doc_id") < 192)
+    build_index(spark, first, d, docs_per_seg=64)
+    m1 = read_manifest(d)
+    assert all(s["doc_hi"] == (s["seg"] + 1) * 64 for s in m1.segments)
+    committed = set(m1.seg_ids)
+
+    mtimes_before = _mtimes(d, sorted(committed))
+    build_index(spark, sparse, d, docs_per_seg=64)
+    assert _mtimes(d, sorted(committed)) == mtimes_before, \
+        "resume must not rewrite completed sparse segments"
+
+    rdr = IndexReader(spark, d)
+    ids = [r["doc_id"] for r in rdr.docmeta.select("doc_id").collect()]
+    n_src = sparse.count()
+    assert len(ids) == n_src, "docs lost or duplicated on sparse resume"
+    assert len(set(ids)) == n_src

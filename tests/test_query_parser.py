@@ -127,3 +127,30 @@ def test_oracle_absent_term():
     idx = OracleIndex(DOCS)
     td = idx.search("zzzmissing", k=10)
     assert td.total_hits == 0 and td.score_docs == ()
+
+
+def test_phrase_combined_slop_boost():
+    """ADVICE r1 (low): '"a b"~2^3' lexes the suffix as one token; it
+    must parse as slop=2 AND boost=3, not fall through to a term."""
+    q = parse_query('"merge line"~2^3')
+    assert isinstance(q, PhraseQuery)
+    assert q.slop == 2 and q.boost == 3.0
+    q2 = parse_query('"merge line"~2 ^3')
+    assert isinstance(q2, PhraseQuery)
+    assert q2.slop == 2 and q2.boost == 3.0
+    q3 = parse_query('"merge line"~2')
+    assert q3.slop == 2 and q3.boost == 1.0
+    q4 = parse_query('"merge line"^3')
+    assert q4.slop == 0 and q4.boost == 3.0
+
+
+def test_scan_prefix_superset():
+    from lucene_solr_spark.plans.query import MultiTermQuery, scan_prefix
+
+    assert scan_prefix(MultiTermQuery("wildcard", "spa*k")) == "spa"
+    assert scan_prefix(MultiTermQuery("wildcard", "?park")) == ""
+    assert scan_prefix(MultiTermQuery("regexp", "spar[kx]")) == "spar"
+    assert scan_prefix(MultiTermQuery("regexp", "spab*")) == "spa"
+    assert scan_prefix(MultiTermQuery("regexp", "s(p|q)ark")) == "s"
+    assert scan_prefix(MultiTermQuery("regexp", ".*ark")) == ""
+    assert scan_prefix(MultiTermQuery("prefix", "spar")) == "spar"

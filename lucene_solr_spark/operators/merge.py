@@ -293,24 +293,31 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     #   seg-ordered concat is a globally sorted stream and re-sharding
     #   it yields disjoint ordered ranges. TERM_BUCKETS (1024) spreads
     #   the cold work across tasks.
-    hot_terms = (
-        postings.filter(F.col("shard") > 0)
-        .select("term_bucket", "term").distinct()
-    )
-    cold = postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
-                         "left_anti")
-    merged_cold = cold.groupBy("term_bucket").applyInPandas(
-        _merge_kernel_factory(new_seg, seg_order, shard_postings),
-        schema=MERGED_POSTINGS_SCHEMA,
-    )
-    passthrough = (
-        postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
-                      "left_semi")
-        .withColumn("seg", F.lit(int(new_seg)))
-        .withColumn("first_doc_key", F.element_at("blk_first", 1))
-        .select(*merged_cold.columns)
-    )
-    merged = merged_cold.unionByName(passthrough)
+    kernel = _merge_kernel_factory(new_seg, seg_order, shard_postings)
+    # short-circuit: first-level merges of build segments have no
+    # sharded rows at all (build never shards) — skip the hot/cold
+    # split's extra scan + joins and run the single cold kernel
+    has_hot = bool(postings.filter(F.col("shard") > 0).head(1))
+    if not has_hot:
+        merged = postings.groupBy("term_bucket").applyInPandas(
+            kernel, schema=MERGED_POSTINGS_SCHEMA)
+    else:
+        hot_terms = (
+            postings.filter(F.col("shard") > 0)
+            .select("term_bucket", "term").distinct()
+        )
+        cold = postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
+                             "left_anti")
+        merged_cold = cold.groupBy("term_bucket").applyInPandas(
+            kernel, schema=MERGED_POSTINGS_SCHEMA)
+        passthrough = (
+            postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
+                          "left_semi")
+            .withColumn("seg", F.lit(int(new_seg)))
+            .withColumn("first_doc_key", F.element_at("blk_first", 1))
+            .select(*merged_cold.columns)
+        )
+        merged = merged_cold.unionByName(passthrough)
     # shard renumbering per term in doc order (metadata-sized window)
     w = Window.partitionBy("term").orderBy("first_doc_key")
     merged = (

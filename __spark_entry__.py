@@ -80,6 +80,33 @@ def _bm25_simple(spark, sf, qtext, k=10):
     return _rank_topk(_index_for(spark, sf, analyzer="simple").search(qtext, k=k))
 
 
+def _deleted_index(spark, sf):
+    """simple-analyzer index with every doc_id % 7 == 0 TOMBSTONED —
+    the deleteDocuments/liveDocs surface (operators/delete.py). Built
+    once per sf under its own work dir; the delete commit is
+    manifest-gated and idempotent across driver runs."""
+    from lucene_solr_spark.operators.delete import delete_documents
+
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"idx_v{INDEX_FORMAT_VERSION}_{tag}_simple_del")
+    if read_manifest(d) is None:
+        build_index(spark, load_source_table(spark, sf), d,
+                    docs_per_seg=128, analyzer="simple")
+    m = read_manifest(d)
+    if not m.delete_files:
+        delete_documents(
+            spark, d,
+            load_documents(spark, sf).filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id"),
+        )
+    key = (d, "simple_del")
+    rdr = _INDEX_CACHE.get(key)
+    if rdr is None:
+        rdr = IndexReader(spark, d)
+        _INDEX_CACHE[key] = rdr
+    return rdr
+
+
 # --------------------------------------------- BM25 SQL oracle generator
 #
 # Reproduces the engine's Lucene-8 float32 scoring path exactly in
@@ -138,18 +165,22 @@ def _bm25_term_ctes(i: int, term: str, boost: float) -> str:
              FROM m{i} WHERE tf > 0)"""
 
 
-def _bm25_rank_tail(scored_sql: str, k: int) -> str:
+def _bm25_rank_tail(scored_sql: str, k: int, live: str = "") -> str:
+    """``live``: optional predicate over doc_id selecting LIVE (non-
+    tombstoned) docs — applied AFTER scoring, since stats and scores
+    are delete-blind until merge (Lucene liveDocs semantics)."""
+    where = f" WHERE {live}" if live else ""
     return f""",
     scored AS ({scored_sql})
     SELECT rank, doc_id, score_r FROM (
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank,
              ROUND(CAST(sc AS DOUBLE), 4) AS score_r
-      FROM scored
+      FROM scored{where}
     ) WHERE rank <= {k} ORDER BY rank"""
 
 
-def _bm25_sql_disjunction(terms, k: int = 10) -> str:
+def _bm25_sql_disjunction(terms, k: int = 10, live: str = "") -> str:
     """terms: [(term, boost)] in QUERY ORDER (float32 sum order)."""
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
     union = " UNION ".join(f"SELECT doc_id FROM s{i}" for i in range(len(terms)))
@@ -159,7 +190,7 @@ def _bm25_sql_disjunction(terms, k: int = 10) -> str:
     joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(len(terms)))
     scored = f"SELECT al.doc_id, {acc} AS sc FROM (SELECT doc_id FROM ({union})) al{joins}"
     return (_BM25_PRELUDE.format(ranges=_byte4_ranges()) + ctes
-            + _bm25_rank_tail(scored, k))
+            + _bm25_rank_tail(scored, k, live))
 
 
 def _bm25_sql_conjunction(terms, k: int = 10) -> str:
@@ -261,6 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ), k=10,
         )
     )
+    # ---- deletes (SURVEY §2.3 updateDocument/PendingDeletes):
+    # tombstoned ids must vanish from ranking and termfreq while stats
+    # stay delete-blind (oracled: same BM25 SQL + live filter)
+    q["delete_bm25_topk"] = lambda s, sf: _rank_topk(
+        _deleted_index(s, sf).search("spark OR merge", k=10))
+    q["delete_termfreq"] = lambda s, sf: _deleted_index(s, sf).termfreq("value")
     q["bm25_simple_mm"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.BooleanQuery(
@@ -531,6 +568,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_phrase": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
+        "delete_bm25_topk": _bm25_sql_disjunction(
+            [("spark", 1.0), ("merge", 1.0)], live="doc_id % 7 != 0"),
+        "delete_termfreq": r"""
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                     t -> t = 'value')) AS tf
+              FROM documents
+            ) WHERE tf > 0 AND doc_id % 7 != 0
+        """,
         "bm25_simple_dismax": _bm25_sql_dismax(
             ["spark", "merge", "vector"], 0.3),
         "bm25_simple_mm": _bm25_sql_min_should_match(

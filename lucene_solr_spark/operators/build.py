@@ -414,6 +414,9 @@ class Manifest:
     analyzer: str
     field: str
     segments: List[dict] = field(default_factory=list)
+    #: manifest-gated tombstone files under <index>/deletes/ (the .liv
+    #: role — see operators/delete.py); carried forward by build/merge
+    delete_files: List[str] = field(default_factory=list)
 
     @property
     def seg_ids(self) -> List[int]:
@@ -434,7 +437,7 @@ class Manifest:
         return json.dumps({
             "gen": self.gen, "docs_per_seg": self.docs_per_seg,
             "analyzer": self.analyzer, "field": self.field,
-            "segments": self.segments,
+            "segments": self.segments, "delete_files": self.delete_files,
         }, indent=1, sort_keys=True)
 
 
@@ -454,7 +457,8 @@ def read_manifest(index_dir: str) -> Optional[Manifest]:
     with open(os.path.join(mdir, f"gen-{gens[-1]:06d}.json")) as fh:
         d = json.load(fh)
     return Manifest(gen=d["gen"], docs_per_seg=d["docs_per_seg"], analyzer=d["analyzer"],
-                    field=d["field"], segments=d["segments"])
+                    field=d["field"], segments=d["segments"],
+                    delete_files=d.get("delete_files", []))
 
 
 def commit_manifest(index_dir: str, m: Manifest) -> None:
@@ -584,6 +588,7 @@ def build_index(
         analyzer=analyzer,
         field=field_name,
         segments=sorted(segments, key=lambda s: s["seg"]),
+        delete_files=list(prev.delete_files) if prev else [],
     )
     commit_manifest(index_dir, m)
     return m

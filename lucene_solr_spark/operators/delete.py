@@ -1,0 +1,95 @@
+"""Document deletes / updates (the IndexWriter mutation path).
+
+Mirrors (SURVEY.md §2.3):
+- `[U] lucene/core/.../index/IndexWriter.java :: deleteDocuments,
+  updateDocument` — deletes are TOMBSTONES (Lucene's liveDocs bitset /
+  .liv files): postings stay on disk, every query surface masks the
+  deleted ids, and collection statistics (docFreq, avgdl) keep counting
+  deleted docs exactly like Lucene's delete-blind CollectionStatistics
+  until a merge rewrites the segment.
+- `[U] lucene/core/.../index/PendingDeletes.java` — the tombstone set
+  is itself manifest-gated: a delete writes ``deletes/del-<gen>.parquet``
+  and commits a new manifest generation listing it, so deletes are
+  atomic, resumable, and invisible until committed (same segments_N
+  discipline as the build).
+
+updateDocument == delete(ids) + build_index(new rows) at the caller
+level, exactly Lucene's delete-then-add contract.
+
+Scale: a tombstone file carries only doc_ids (long). The reader unions
+the manifest-listed delete files and masks with a sorted-array
+membership test inside the scoring kernel — O(hits log deletes) per
+task, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import Manifest, commit_manifest, read_manifest
+
+
+def _deletes_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "deletes")
+
+
+def delete_documents(spark: SparkSession, index_dir: str,
+                     doc_ids: Sequence[int] | DataFrame) -> Manifest:
+    """Tombstone ``doc_ids`` (list or a DataFrame with a doc_id column)
+    and commit a new manifest generation listing the delete file."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {index_dir}")
+    name = f"del-{m.gen + 1:06d}.parquet"
+    ddir = _deletes_dir(index_dir)
+    os.makedirs(ddir, exist_ok=True)
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        pdf = ids_df.toPandas()
+    else:
+        import pandas as pd
+
+        pdf = pd.DataFrame({"doc_id": sorted({int(i) for i in doc_ids})})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(ddir, name + ".inprogress")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(pdf["doc_id"].astype("int64"), pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, os.path.join(ddir, name))
+    out = Manifest(
+        gen=m.gen + 1, docs_per_seg=m.docs_per_seg, analyzer=m.analyzer,
+        field=m.field, segments=m.segments,
+        delete_files=list(m.delete_files) + [name],
+    )
+    commit_manifest(index_dir, out)
+    return out
+
+
+def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> Manifest:
+    """deleteDocuments(Term): tombstone every doc containing ``term``."""
+    from .search import IndexReader
+
+    rdr = IndexReader(spark, index_dir, cache_stats=False)
+    return delete_documents(spark, index_dir, rdr.termfreq(term).select("doc_id"))
+
+
+def load_deleted_ids(index_dir: str, m: Manifest):
+    """-> sorted numpy int64 array of tombstoned doc_ids (deduped)."""
+    import numpy as np
+
+    if not m.delete_files:
+        return np.empty(0, dtype=np.int64)
+    import pyarrow.parquet as pq
+
+    parts = [
+        pq.read_table(os.path.join(_deletes_dir(index_dir), f))["doc_id"].to_numpy()
+        for f in m.delete_files
+    ]
+    return np.unique(np.concatenate(parts)).astype(np.int64)

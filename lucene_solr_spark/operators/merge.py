@@ -366,6 +366,7 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     out = Manifest(
         gen=m.gen + 1, docs_per_seg=m.docs_per_seg, analyzer=m.analyzer,
         field=m.field, segments=sorted(keep + [new_entry], key=lambda s: s["seg"]),
+        delete_files=list(m.delete_files),
     )
     commit_manifest(index_dir, out)
     return out

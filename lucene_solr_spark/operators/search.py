@@ -357,12 +357,33 @@ def _top_k(docs: np.ndarray, scores: np.ndarray, k: int) -> Tuple[np.ndarray, np
     return docs[sel][order], scores[sel][order]
 
 
+def _mask_live(docs: np.ndarray, scores: np.ndarray,
+               deleted: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop tombstoned doc_ids (liveDocs mask; ``deleted`` sorted)."""
+    if deleted.size == 0 or len(docs) == 0:
+        return docs, scores
+    idx = np.searchsorted(deleted, docs)
+    idx_c = np.minimum(idx, len(deleted) - 1)
+    dead = (idx < len(deleted)) & (deleted[idx_c] == docs)
+    return docs[~dead], scores[~dead]
+
+
 def make_query_kernel(query: Query, weights: Dict[str, np.float32],
                       phrase_weights: Dict[Tuple[str, ...], np.float32],
                       cache: np.ndarray, doc_base: Dict[int, Tuple[int, int]],
-                      k: int, prune: str = "maxscore"):
+                      k: int, prune: str = "maxscore",
+                      deleted: Optional[np.ndarray] = None):
     """applyInPandas kernel over one segment's posting rows for the
-    query's terms -> per-segment top-k + exact hit count."""
+    query's terms -> per-segment top-k + exact hit count.
+
+    ``deleted``: sorted tombstoned doc_ids (operators/delete.py). With
+    deletes present the MaxScore path is disabled: its theta comes from
+    the kth best single-term contribution, which could be a deleted doc
+    — a too-high theta would prune LIVE competitive docs. The
+    exhaustive path scores everything and masks before top-k (scores of
+    live docs are per-doc, so tombstones cannot change them; stats stay
+    delete-blind like Lucene's CollectionStatistics)."""
+    deleted = np.empty(0, np.int64) if deleted is None else deleted
 
     is_pure_disjunction = (
         isinstance(query, TermQuery)
@@ -376,10 +397,11 @@ def make_query_kernel(query: Query, weights: Dict[str, np.float32],
         # MatchAll carrier rows (right-join) have null term columns
         terms = _assemble_terms(pdf[pdf["term"].notna()])
         scorer = _SegmentScorer(terms, weights, cache, doc_base, seg, phrase_weights)
-        if prune == "maxscore" and is_pure_disjunction:
+        if prune == "maxscore" and is_pure_disjunction and deleted.size == 0:
             docs, scores, n_hits = _maxscore_disjunction(query, scorer, k)
         else:
             docs, scores = scorer.eval(query)
+            docs, scores = _mask_live(docs, scores, deleted)
             n_hits = len(docs)
             docs, scores = _top_k(docs, scores, k)
         return pd.DataFrame({
@@ -523,6 +545,12 @@ class IndexReader:
         self.sum_dl = m.sum_dl
         self.avgdl = self.sum_dl / self.doc_count if self.doc_count else 0.0
         self.cache = norm_cache(self.avgdl)
+        # liveDocs: sorted tombstoned ids from the manifest's delete
+        # files (operators/delete.py); stats stay delete-blind like
+        # Lucene until a merge purges
+        from .delete import load_deleted_ids
+
+        self.deleted = load_deleted_ids(index_dir, m)
         self._seg_files_cache: Optional[Dict[int, List[int]]] = None
         self._df_map: Optional[Dict[str, int]] = None
         if cache_stats:
@@ -700,7 +728,8 @@ class IndexReader:
         terms = [t for _, t in query_terms(q)]
         weights, phrase_weights = self._weights(q)
         kernel = make_query_kernel(
-            q, weights, phrase_weights, self.cache, self.manifest.doc_base(), k, prune
+            q, weights, phrase_weights, self.cache, self.manifest.doc_base(),
+            k, prune, deleted=self.deleted,
         )
         has_matchall = _contains_matchall(q)
         conds = []
@@ -848,7 +877,12 @@ class IndexReader:
                         "tf": decode_tfs(r),
                     })
 
-        return rows.mapInPandas(gen, "doc_id long, tf long")
+        out = rows.mapInPandas(gen, "doc_id long, tf long")
+        if self.deleted.size:
+            dels = self.spark.createDataFrame(
+                [(int(x),) for x in self.deleted], "doc_id long")
+            out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        return out
 
     def docfreq(self, term: str) -> int:
         return self.global_dfs([term]).get(term, 0)

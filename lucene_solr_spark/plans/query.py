@@ -432,6 +432,12 @@ class _Parser:
             return self._range(fld, include_lo=(val == "["))
         if kind == "word":
             if val == "*" or val == "*:*":
+                # "*:*" may also lex as word('*') colon word('*'):
+                # treat a "*:" prefix as the all-fields selector
+                # (single-field engine -> default field)
+                if self.lex.peek()[0] == "colon":
+                    self.lex.next()
+                    return self._atom(fld)
                 return MatchAllQuery()
             val, boost = _split_boost(val)
             # multi-term syntax (expanded against the term dict at

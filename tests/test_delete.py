@@ -1,0 +1,105 @@
+"""Delete/tombstone path (SURVEY.md §2.3 IndexWriter.deleteDocuments /
+PendingDeletes): masking, delete-blind stats, merge/resume survival."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.build import build_index, read_manifest
+from lucene_solr_spark.operators.delete import delete_by_term, delete_documents
+from lucene_solr_spark.operators.merge import force_merge
+from lucene_solr_spark.operators.search import IndexReader
+from lucene_solr_spark.sources import load_source_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load_source_table(spark, sf_dir).cache()
+
+
+def _ids(pairs):
+    return [d for d, _ in pairs]
+
+
+def test_delete_masks_search_and_count(spark, corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)
+    before = IndexReader(spark, d)
+    top, total = before.search_with_total("spark", k=20)
+    victim = top[0][0]
+
+    delete_documents(spark, d, [victim])
+    after = IndexReader(spark, d)
+    top2, total2 = after.search_with_total("spark", k=20)
+    assert victim not in _ids(top2)
+    assert total2 == total - 1
+    # live docs keep IDENTICAL scores (stats are delete-blind)
+    s_before = dict(top)
+    for doc, score in top2[:10]:
+        if doc in s_before:
+            assert np.float32(score) == np.float32(s_before[doc])
+
+    # termfreq masks, stats do not
+    assert victim not in {r["doc_id"] for r in after.termfreq("spark").collect()}
+    assert after.doc_count == before.doc_count
+    assert after.docfreq("spark") == before.docfreq("spark")
+
+
+def test_delete_by_term_and_matchall(spark, corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=128)
+    rdr = IndexReader(spark, d)
+    n_docs = rdr.doc_count
+    n_with = rdr.count("q7token") if rdr.docfreq("q7token") else 0
+    term = "spark"
+    n_term = rdr.count(term)
+    delete_by_term(spark, d, term)
+    rdr2 = IndexReader(spark, d)
+    assert rdr2.count(term) == 0
+    # MatchAll total drops by exactly the tombstoned count
+    assert rdr2.count("*") == n_docs - n_term
+    del n_with
+
+
+def test_deletes_survive_merge_and_resume(spark, corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus.filter(F.col("doc_id") < 256), d, docs_per_seg=64)
+    rdr = IndexReader(spark, d)
+    top, _ = rdr.search_with_total("merge", k=5)
+    victim = top[0][0]
+    delete_documents(spark, d, [victim])
+
+    # build resume (more docs) keeps the tombstone
+    build_index(spark, corpus, d, docs_per_seg=64)
+    m = read_manifest(d)
+    assert m.delete_files, "resume dropped delete files"
+    r2 = IndexReader(spark, d)
+    assert victim not in _ids(r2.search_with_total("merge", k=30)[0])
+
+    # merge keeps the tombstone too
+    force_merge(spark, d, segs_per_tier=2, max_merge_at_once=4)
+    r3 = IndexReader(spark, d)
+    assert victim not in _ids(r3.search_with_total("merge", k=30)[0])
+    # rank-identity of live docs vs pre-merge
+    assert r3.search_with_total("merge", k=30) == r2.search_with_total("merge", k=30)
+
+
+def test_update_document_pattern(spark, corpus, tmp_path):
+    """updateDocument == delete(old id) + index new rows (new id range)."""
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)
+    rdr = IndexReader(spark, d)
+    victim = rdr.search_with_total("spark", k=1)[0][0][0]
+    n0 = rdr.count("uniqreplacementtoken") if rdr.docfreq("uniqreplacementtoken") else 0
+    assert n0 == 0
+    delete_documents(spark, d, [victim])
+    new_id = 1 + max(s["doc_hi"] for s in read_manifest(d).segments)
+    new_row = spark.createDataFrame(
+        [(new_id, "r", "p", "c", "text", "uniqreplacementtoken spark spark")],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    build_index(spark, new_row, d, docs_per_seg=64)
+    r2 = IndexReader(spark, d)
+    assert r2.count("uniqreplacementtoken") == 1
+    assert victim not in _ids(r2.search_with_total("spark", k=50)[0])
+    assert new_id in _ids(r2.search_with_total("uniqreplacementtoken", k=5)[0])

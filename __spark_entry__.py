@@ -137,11 +137,12 @@ def _byte4_ranges() -> str:
 
 
 _BM25_PRELUDE = """
-    WITH toks AS (
+    WITH raw AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
-                         t -> t != '') AS tk
+                         t -> t != '') AS tk0
       FROM documents),
+    toks AS (SELECT doc_id, {chain} AS tk FROM raw),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS sum_dl FROM toks),
     nq(lo, hi) AS (VALUES {ranges}),
     cache AS (
@@ -150,6 +151,34 @@ _BM25_PRELUDE = """
                   (SELECT CAST(sum_dl AS DOUBLE) / n_docs FROM stats)) AS REAL) AS c
       FROM toks t JOIN nq ON len(t.tk) >= nq.lo AND len(t.tk) < nq.hi)
 """
+
+
+#: fixed vocabulary of the driver's synthetic documents table
+#: (TESTDATA.md; validated identical at sf0.001/0.01/0.1) — lets the
+#: english-analyzer oracle embed the stem map generated from the SHARED
+#: Porter implementation (analysis/porter.py). Unseen tokens fall back
+#: to identity.
+_CORPUS_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+
+
+def _english_chain() -> str:
+    """DuckDB expression mirroring the english analyzer chain on tk0:
+    StopFilter(English set) then PorterStemFilter (possessives absent
+    from this corpus). Stem map generated from the shared stemmer."""
+    from lucene_solr_spark.analysis import ENGLISH_STOP_WORDS
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    stops = "['" + "','".join(sorted(ENGLISH_STOP_WORDS)) + "']"
+    cases = " ".join(
+        f"WHEN '{w}' THEN '{porter_stem(w)}'"
+        for w in _CORPUS_VOCAB if porter_stem(w) != w
+    )
+    return (f"list_transform(list_filter(tk0, t -> NOT list_contains({stops}, t)), "
+            f"t -> CASE t {cases} ELSE t END)")
 
 
 def _bm25_term_ctes(i: int, term: str, boost: float) -> str:
@@ -180,7 +209,7 @@ def _bm25_rank_tail(scored_sql: str, k: int, live: str = "") -> str:
     ) WHERE rank <= {k} ORDER BY rank"""
 
 
-def _bm25_sql_disjunction(terms, k: int = 10, live: str = "") -> str:
+def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0") -> str:
     """terms: [(term, boost)] in QUERY ORDER (float32 sum order)."""
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
     union = " UNION ".join(f"SELECT doc_id FROM s{i}" for i in range(len(terms)))
@@ -189,22 +218,22 @@ def _bm25_sql_disjunction(terms, k: int = 10, live: str = "") -> str:
         acc = f"({acc} + COALESCE(s{i}.sc, CAST(0 AS REAL)))"
     joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(len(terms)))
     scored = f"SELECT al.doc_id, {acc} AS sc FROM (SELECT doc_id FROM ({union})) al{joins}"
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges()) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
             + _bm25_rank_tail(scored, k, live))
 
 
-def _bm25_sql_conjunction(terms, k: int = 10) -> str:
+def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0") -> str:
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
     acc = "s0.sc"
     for i in range(1, len(terms)):
         acc = f"({acc} + s{i}.sc)"
     joins = "".join(f" JOIN s{i} USING (doc_id)" for i in range(1, len(terms)))
     scored = f"SELECT s0.doc_id, {acc} AS sc FROM s0{joins}"
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges()) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_min_should_match(terms, mm: int, k: int = 10) -> str:
+def _bm25_sql_min_should_match(terms, mm: int, k: int = 10, chain: str = "tk0") -> str:
     """Disjunction whose candidates must match >= mm clauses; scores
     still sum ALL matching clauses (float32, query order)."""
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
@@ -216,11 +245,11 @@ def _bm25_sql_min_should_match(terms, mm: int, k: int = 10) -> str:
     scored = (f"SELECT al.doc_id, {acc} AS sc FROM "
               f"(SELECT doc_id FROM ({union}) GROUP BY doc_id "
               f"HAVING COUNT(*) >= {mm}) al{joins}")
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges()) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10) -> str:
+def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10, chain: str = "tk0") -> str:
     """DisMax: score = max + tiebreak*(total - max), float32 (total
     accumulated left-associatively in clause order like the kernel)."""
     ctes = "".join(_bm25_term_ctes(i, t, 1.0) for i, t in enumerate(terms))
@@ -233,11 +262,11 @@ def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10) -> str:
     scored = f"""SELECT doc_id, (mx + CAST({tiebreak!r} AS REAL) * (tot - mx)) AS sc
       FROM (SELECT al.doc_id, {acc} AS tot, GREATEST({", ".join(vs)}) AS mx
             FROM (SELECT doc_id FROM ({union})) al{joins})"""
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges()) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0) -> str:
+def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0") -> str:
     """Exact (slop 0) phrase: tf = count of ordered adjacent matches;
     weight = float32(boost * sum(idf(term))) summed in phrase order."""
     distinct = list(dict.fromkeys(terms))
@@ -258,7 +287,7 @@ def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0) -> str:
                    len([i FOR i IN range(1, {hi}) IF {conds}]) AS tf
             FROM cache)
       WHERE tf > 0"""
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges()) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
             + _bm25_rank_tail(scored, k))
 
 
@@ -292,6 +321,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ), k=10,
         )
     )
+    # ---- EnglishAnalyzer chain (SURVEY §2.2: possessive -> stop ->
+    # Porter): ranked with a full SQL oracle (stem map embedded from
+    # the shared Porter implementation)
+    q["bm25_english_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="english").search("merging OR sorted", k=10))
+    q["english_termfreq"] = lambda s, sf: _index_for(
+        s, sf, analyzer="english").termfreq("valu")
+
     # ---- deletes (SURVEY §2.3 updateDocument/PendingDeletes):
     # tombstoned ids must vanish from ranking and termfreq while stats
     # stay delete-blind (oracled: same BM25 SQL + live filter)
@@ -568,6 +605,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_phrase": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
+        "bm25_english_topk": _bm25_sql_disjunction(
+            [("merg", 1.0), ("sort", 1.0)], chain=_english_chain()),
+        "english_termfreq": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk0
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     len(list_filter({_english_chain()}, t -> t = 'valu')) AS tf
+              FROM raw
+            ) WHERE tf > 0
+        """,
         "delete_bm25_topk": _bm25_sql_disjunction(
             [("spark", 1.0), ("merge", 1.0)], live="doc_id % 7 != 0"),
         "delete_termfreq": r"""

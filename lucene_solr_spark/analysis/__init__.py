@@ -71,7 +71,7 @@ TOKEN_RE = re.compile(rf"\w+(?:{_SEP}\w+)*", re.UNICODE)
 SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
-              "standard_stop": TOKEN_RE}
+              "standard_stop": TOKEN_RE, "english": TOKEN_RE}
 
 # StopFilter (SURVEY.md §2.2, `[U] .../analysis/StopFilter.java`) with
 # Lucene's classic English stop set (`[U] .../analysis/en/
@@ -86,7 +86,29 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 _STOP_SETS = {"standard": frozenset(), "simple": frozenset(),
-              "standard_stop": ENGLISH_STOP_WORDS}
+              "standard_stop": ENGLISH_STOP_WORDS,
+              "english": ENGLISH_STOP_WORDS}
+
+# EnglishAnalyzer chain (`[U] lucene/analysis/common/.../en/
+# EnglishAnalyzer.java`): StandardTokenizer -> EnglishPossessiveFilter
+# -> LowerCase -> StopFilter(English set) -> PorterStemFilter. The
+# possessive strip runs on the raw token stream; stemming runs on the
+# post-stop stream (so stopwords are matched UNstemmed, like Lucene).
+
+
+def _stemmer_for(analyzer: str):
+    if analyzer == "english":
+        from .porter import porter_stem
+
+        return porter_stem
+    return None
+
+
+def _strip_possessive(tok: str) -> str:
+    """EnglishPossessiveFilter: drop a trailing 's / ’s."""
+    if len(tok) > 2 and tok[-1] == "s" and tok[-2] in ("'", "’"):
+        return tok[:-2]
+    return tok
 
 # ---------------------------------------------------------------- JVM side
 #
@@ -147,6 +169,8 @@ def _raw_tokens(text: str, analyzer: str) -> List[str]:
     """Pre-stop-filter token stream (positions = list index)."""
     pattern = _ANALYZERS[analyzer]
     raw = pattern.findall(text.lower())
+    if analyzer == "english":
+        raw = [_strip_possessive(t) for t in raw]
     out: List[str] = []
     for t in raw:
         if len(t) > MAX_TOKEN_LENGTH:
@@ -173,6 +197,9 @@ def tokenize(text: str, analyzer: str = "standard") -> List[str]:
     stop = _STOP_SETS[analyzer]
     if stop:
         out = [t for t in out if t not in stop]
+    stem = _stemmer_for(analyzer)
+    if stem:
+        out = [stem(t) for t in out]
     return out
 
 
@@ -189,9 +216,13 @@ def analyze(text: str, analyzer: str = "standard") -> List[Tuple[str, int]]:
         return []
     raw = _raw_tokens(text, analyzer)
     stop = _STOP_SETS[analyzer]
-    if not stop:
+    stem = _stemmer_for(analyzer)
+    if not stop and not stem:
         return list(zip(raw, range(len(raw))))
-    return [(t, i) for i, t in enumerate(raw) if t not in stop]
+    pairs = [(t, i) for i, t in enumerate(raw) if not stop or t not in stop]
+    if stem:
+        pairs = [(stem(t), i) for t, i in pairs]
+    return pairs
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -203,6 +234,8 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     pattern = _ANALYZERS[analyzer]
     lowered = texts.fillna("").str.lower()
     toks = lowered.str.findall(pattern)
+    if analyzer == "english":
+        toks = toks.map(lambda ts: [_strip_possessive(t) for t in ts])
     # long-token split is rare: only post-process rows that need it
     needs_split = toks.map(lambda ts: any(len(t) > MAX_TOKEN_LENGTH for t in ts))
     if needs_split.any():
@@ -213,4 +246,7 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     stop = _STOP_SETS[analyzer]
     if stop:
         toks = toks.map(lambda ts: [t for t in ts if t not in stop])
+    stem = _stemmer_for(analyzer)
+    if stem:
+        toks = toks.map(lambda ts: [stem(t) for t in ts])
     return toks

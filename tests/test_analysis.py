@@ -99,3 +99,79 @@ def test_stop_analyzer_gaps():
         ("quick", 1), ("fox", 2), ("lazy", 5), ("dog", 6)
     ]
     assert "the" in ENGLISH_STOP_WORDS and "quick" not in ENGLISH_STOP_WORDS
+
+
+def test_porter_battery():
+    """Published examples from Porter (1980) + reference-implementation
+    departures (logi->log etc.)."""
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    expected = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer", "airliner": "airlin",
+        "gyroscopic": "gyroscop", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt",
+        "communism": "commun", "activate": "activ",
+        "homologou": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    got = {w: porter_stem(w) for w in expected}
+    assert got == expected
+
+
+def test_english_analyzer_chain():
+    from lucene_solr_spark.analysis import analyze, tokenize
+
+    # possessive strip -> stop filter (with position gap) -> stem
+    assert tokenize("John's merges are the fastest", "english") == \
+        ["john", "merg", "fastest"]
+    pairs = analyze("John's merges are the fastest", "english")
+    # positions keep pre-stop indices: are(2)/the(3) removed
+    assert pairs == [("john", 0), ("merg", 1), ("fastest", 4)]
+
+
+def test_english_engine_matches_oracle(spark, tmp_path):
+    import numpy as np
+
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+    from lucene_solr_spark.sources import load_source_table
+    from tests.oracle import OracleIndex
+
+    corpus = load_source_table(spark, "/root/testdata/sf0.001")
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=256, analyzer="english")
+    idx = IndexReader(spark, d)
+    oracle = OracleIndex(sorted(
+        (r["doc_id"], r["content"])
+        for r in corpus.select("doc_id", "content").collect()
+    ), analyzer="english")
+    for q in ["merging", "queries OR tables", "customers AND sorted",
+              '"value merge"']:
+        got, total = idx.search_with_total(q, k=20)
+        exp = oracle.search(q, k=20)
+        assert [(dd, np.float32(s)) for dd, s in got] == \
+            [(dd, np.float32(s)) for dd, s in exp.score_docs], q
+        assert total == exp.total_hits, q

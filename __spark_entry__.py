@@ -20,7 +20,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lucene_solr_spark.functions import datemath as dm
 from lucene_solr_spark.functions import valuesource as vs
+from lucene_solr_spark.operators import graph as gr
 from lucene_solr_spark.operators import highlight as hl
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
@@ -478,6 +480,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["user_id"], "event_id",
     ).select("user_id", F.concat_ws(",", F.col("event_ids")).alias("event_ids"))
 
+    # ---- block join / cardinality / Parallel SQL / date math / graph /
+    # ingest seams (SURVEY §2.1, §2.6, §2.7, §2.10, §2.13)
+    q["block_join_orders"] = lambda s, sf: sx.block_join_parent(
+        _t(s, sf, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_extendedprice"),
+        _t(s, sf, "orders").select("o_orderkey", "o_custkey"),
+        "o_orderkey", F.col("l_quantity") >= 48,
+        F.round(F.max("l_extendedprice"), 2).alias("max_child_price"),
+    ).select("o_orderkey", "o_custkey", "n_matched", "max_child_price")
+    q["stats_distinct_users"] = lambda s, sf: sx.stats_distinct(
+        _t(s, sf, "events"), "user_id")
+    q["hll_user_count"] = lambda s, sf: _t(s, sf, "events").agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        (F.abs(F.approx_count_distinct("user_id") - F.count_distinct(F.col("user_id")))
+         / F.count_distinct(F.col("user_id")) <= 0.05).alias("approx_within_5pct"),
+    )
+    q["parallel_sql_revenue"] = _parallel_sql_revenue
+    q["datemath_week_events"] = lambda s, sf: _t(s, sf, "events").filter(
+        (F.col("ts") >= F.lit(dm.parse_date_math("2024-01-10T06:30:00Z/DAY")))
+        & (F.col("ts") < F.lit(dm.parse_date_math("2024-01-10T06:30:00Z/DAY+7DAYS")))
+    ).agg(F.count(F.lit(1)).alias("cnt"),
+          F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+    q["graph_gather_nodes"] = lambda s, sf: gr.gather_nodes(
+        _edges(s, sf), _edges(s, sf).filter(F.col("src").isin("P1", "P2", "P3"))
+        .select("src"), "src", "dst", hops=2)
+    q["graph_shortest_path"] = lambda s, sf: s.createDataFrame(
+        [(gr.shortest_path_length(_edges(s, sf), "P1", "P2", "src", "dst",
+                                  max_hops=6),)], "hops int")
+    q["ingest_json_roundtrip"] = _ingest_json_roundtrip
+
     # ---- dedup (training-data pipeline; SURVEY.md §2 + task brief)
     q["dedup_exact_groups"] = lambda s, sf: tp.exact_dedup(_docs(s, sf), "text")
     q["dedup_ngram_jaccard"] = lambda s, sf: tp.ngram_jaccard_pairs(
@@ -583,6 +615,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _edges(s: SparkSession, sf: str) -> DataFrame:
+    """Bipartite part-order graph from lineitem, as directed edges both
+    ways with typed node labels (P<partkey>, O<orderkey>)."""
+    li = _t(s, sf, "lineitem")
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    return (li.select(p.alias("src"), o.alias("dst"))
+            .unionByName(li.select(o.alias("src"), p.alias("dst")))
+            .distinct())
+
+
+def _parallel_sql_revenue(s: SparkSession, sf: str) -> DataFrame:
+    """Parallel SQL (SURVEY §2.13, `[U] solr/core/.../handler/sql/`):
+    the engine's tables ARE Spark SQL views — Catalyst plans the query."""
+    _t(s, sf, "orders").createOrReplaceTempView("v_orders")
+    _t(s, sf, "customer").createOrReplaceTempView("v_customer")
+    return s.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY revenue DESC LIMIT 3
+    """)
+
+
+def _ingest_json_roundtrip(s: SparkSession, sf: str) -> DataFrame:
+    """JSON ingest seam (SURVEY §2.1): write the documents table as
+    line-delimited JSON once (idempotent work dir), re-read through
+    load_source_any, and checksum — proves the format seam is lossless."""
+    from lucene_solr_spark.sources import load_source_any
+
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"json_docs_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        load_documents(s, sf).write.mode("overwrite").json(d)
+    back = load_source_any(s, d, "json")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("text_chars"),
+    )
+
+
 def _planted_embeddings(s: SparkSession, sf: str) -> DataFrame:
     """embeddings ∪ exact copies of vec_id<10 shifted to id+10000 —
     deterministic planted duplicates for the LSH near-dup oracle."""
@@ -618,6 +692,65 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter({_english_chain()}, t -> t = 'valu')) AS tf
               FROM raw
             ) WHERE tf > 0
+        """,
+        "block_join_orders": """
+            SELECT o_orderkey, o_custkey, n_matched, max_child_price FROM (
+              SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_matched,
+                     ROUND(MAX(l_extendedprice), 2) AS max_child_price
+              FROM lineitem WHERE l_quantity >= 48 GROUP BY 1
+            ) j JOIN orders USING (o_orderkey)
+        """,
+        "stats_distinct_users": """
+            SELECT COUNT(DISTINCT user_id) AS distinct_count FROM events
+        """,
+        "hll_user_count": """
+            SELECT COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS approx_within_5pct
+            FROM events
+        """,
+        "parallel_sql_revenue": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY revenue DESC LIMIT 3
+        """,
+        "datemath_week_events": """
+            SELECT COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-10 00:00:00' + INTERVAL 7 DAY
+        """,
+        "graph_gather_nodes": """
+            WITH e AS (
+              SELECT 'P' || l_partkey AS src, 'O' || l_orderkey AS dst FROM lineitem
+              UNION
+              SELECT 'O' || l_orderkey, 'P' || l_partkey FROM lineitem),
+            l0 AS (SELECT DISTINCT src AS node FROM e WHERE src IN ('P1','P2','P3')),
+            l1 AS (SELECT DISTINCT dst AS node FROM e JOIN l0 ON e.src = l0.node
+                   WHERE dst NOT IN (SELECT node FROM l0)),
+            l2 AS (SELECT DISTINCT dst AS node FROM e JOIN l1 ON e.src = l1.node
+                   WHERE dst NOT IN (SELECT node FROM l0 UNION SELECT node FROM l1))
+            SELECT node, 0 AS level FROM l0
+            UNION ALL SELECT node, 1 FROM l1
+            UNION ALL SELECT node, 2 FROM l2
+        """,
+        "graph_shortest_path": """
+            WITH RECURSIVE e AS (
+              SELECT 'P' || l_partkey AS src, 'O' || l_orderkey AS dst FROM lineitem
+              UNION
+              SELECT 'O' || l_orderkey, 'P' || l_partkey FROM lineitem),
+            walk(node, d) AS (
+              SELECT 'P1', 0
+              UNION
+              SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.node
+              WHERE walk.d < 6
+            )
+            SELECT CAST(MIN(d) AS INT) AS hops FROM walk WHERE node = 'P2'
+        """,
+        "ingest_json_roundtrip": """
+            SELECT COUNT(*) AS n, SUM(doc_id) AS id_sum,
+                   SUM(LENGTH(text)) AS text_chars
+            FROM documents
         """,
         "delete_bm25_topk": _bm25_sql_disjunction(
             [("spark", 1.0), ("merge", 1.0)], live="doc_id % 7 != 0"),

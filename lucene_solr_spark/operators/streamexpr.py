@@ -29,7 +29,7 @@ __all__ = [
     "reducer_stream", "facet_field", "facet_range", "facet_query",
     "facet_pivot", "stats_component", "timeseries_stream",
     "significant_terms", "collapse", "search_after", "export_sorted",
-    "join_scored",
+    "join_scored", "block_join_parent", "stats_distinct", "group_top_k",
 ]
 
 
@@ -278,6 +278,32 @@ def join_scored(matched: DataFrame, to: DataFrame, from_key: str, to_key: str,
         agg(score_col).alias("join_score")
     )
     return to.join(scored, to_key, "inner")
+
+
+def block_join_parent(children: DataFrame, parents: DataFrame,
+                      parent_key: str, child_cond: Column,
+                      *child_aggs: Column) -> DataFrame:
+    """`[U] lucene/join/.../ToParentBlockJoinQuery.java` (SURVEY §2.7):
+    parents having >= 1 child matching ``child_cond``, with per-parent
+    child aggregates (the ScoreMode surface: count/max/sum over matched
+    children). Spark shape: filter children -> partial+final agg keyed
+    on the parent -> broadcast-or-shuffle join back to parents; the
+    child scan never ships non-matching rows."""
+    matched = (
+        children.filter(child_cond)
+        .groupBy(parent_key)
+        .agg(F.count(F.lit(1)).alias("n_matched"), *child_aggs)
+    )
+    return parents.join(matched, parent_key, "inner")
+
+
+def stats_distinct(df: DataFrame, fld: str, approx: bool = False) -> DataFrame:
+    """`[U] solr/core/.../search/facet/HLLAgg.java` / ``unique`` agg:
+    cardinality of a field. ``approx=True`` uses HyperLogLog++
+    (approx_count_distinct — one pass, mergeable sketches, the only
+    option at 10^12 rows); exact uses count_distinct."""
+    agg = (F.approx_count_distinct(fld) if approx else F.count_distinct(F.col(fld)))
+    return df.agg(agg.alias("distinct_count"))
 
 
 def group_top_k(df: DataFrame, key: str, n: int, *order: Column) -> DataFrame:

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
-    "load_documents", "load_source_table", "synth_repo_files", "synth_rows",
+    "load_documents", "load_source_table", "load_source_any", "load_jdbc",
+    "synth_repo_files", "synth_rows",
     "synth_corpus_local", "assign_doc_ids", "SOURCE_SCHEMA",
 ]
 
@@ -46,6 +47,45 @@ def load_source_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+def load_source_any(spark: SparkSession, path: str, fmt: str = "parquet",
+                    **options) -> DataFrame:
+    """Format-agnostic ingest seam (SURVEY.md §2.1: Solr's JSON/CSV
+    update handlers + DIH). ``fmt``: parquet | json | csv | orc — each
+    maps to the native Spark reader (distributed splittable scan,
+    schema projection + predicate pushdown where the format supports
+    it). CSV defaults to header=true; JSON expects line-delimited.
+    Columns are projected onto the SOURCE_SCHEMA shape when present."""
+    reader = spark.read.options(**options)
+    if fmt == "csv":
+        reader = reader.option("header", options.get("header", "true"))
+    df = reader.format(fmt).load(path)
+    want = ["doc_id", "repo", "path", "commit", "lang", "content"]
+    if all(c in df.columns for c in want):
+        return df.select(*want)
+    return df
+
+
+def load_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              num_partitions: int = 32, lower_bound=None, upper_bound=None,
+              **options) -> DataFrame:
+    """DataImportHandler / JDBC source seam (SURVEY.md §2.1,
+    `[U] solr/contrib/dataimporthandler/`): a thin wrapper over
+    ``spark.read.jdbc``. Always pass ``partition_column`` + bounds for
+    any non-toy table — without them Spark reads the whole table
+    through ONE connection; with them the scan fans out into
+    ``num_partitions`` range-partitioned queries."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", num_partitions)
+                  .option("lowerBound", lower_bound)
+                  .option("upperBound", upper_bound))
+    return reader.load()
 
 
 # ------------------------------------------------------- synthetic corpus

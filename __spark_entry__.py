@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from lucene_solr_spark.functions import datemath as dm
 from lucene_solr_spark.functions import valuesource as vs
+from lucene_solr_spark.operators import edismax as ed
 from lucene_solr_spark.operators import graph as gr
 from lucene_solr_spark.operators import highlight as hl
 from lucene_solr_spark.operators import multimodal as mm
@@ -323,6 +324,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ), k=10,
         )
     )
+    # ---- edismax multi-field qf (SURVEY §2.4 ExtendedDismaxQParser):
+    # per-field indexes, clause-level dismax across fields, mm over
+    # clauses; full float32-exact SQL oracle
+    q["edismax_qf_topk"] = lambda s, sf: _rank_topk(
+        ed.edismax_search(_edismax_readers(s, sf), "content^2 path_text",
+                          "spark docs", tiebreak=0.1, mm=1, k=10))
+    q["edismax_mm_topk"] = lambda s, sf: _rank_topk(
+        ed.edismax_search(_edismax_readers(s, sf), "content^2 path_text",
+                          "spark merge txt", tiebreak=0.3, mm=2, k=10))
+
     # ---- EnglishAnalyzer chain (SURVEY §2.2: possessive -> stop ->
     # Porter): ranked with a full SQL oracle (stem map embedded from
     # the shared Porter implementation)
@@ -615,6 +626,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _edismax_readers(s: SparkSession, sf: str):
+    """Per-field readers for edismax: 'content' (simple analyzer) and
+    'path_text' (the synthetic path column, simple analyzer) — each
+    field is its own index dir, the physical analog of Lucene's
+    per-field postings + norms."""
+    content = _index_for(s, sf, analyzer="simple")
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"idx_v{INDEX_FORMAT_VERSION}_{tag}_pathfield")
+    if read_manifest(d) is None:
+        src = load_source_table(s, sf).withColumn("path_text", F.col("path"))
+        build_index(s, src, d, docs_per_seg=128, analyzer="simple",
+                    field_name="path_text")
+    key = (d, "path_text")
+    rdr = _INDEX_CACHE.get(key)
+    if rdr is None:
+        rdr = IndexReader(s, d)
+        _INDEX_CACHE[key] = rdr
+    return {"content": content, "path_text": rdr}
+
+
+def _edismax_sql(clauses, qf, tie: float, mm: int, k: int = 10) -> str:
+    """edismax oracle: per-field float32 BM25 (content from text,
+    path_text from the synthesized 'docs/<id>.txt' path), cast to
+    double, dismax per clause across fields, mm over clauses — the
+    exact combine order of operators/edismax.py."""
+    field_tok = {
+        "content": ("list_filter(regexp_split_to_array(lower(text), "
+                    "'[^a-z0-9_]+'), t -> t != '')"),
+        "path_text": "['docs', CAST(doc_id AS VARCHAR), 'txt']",
+    }
+    parts = [f"nq(lo, hi) AS (VALUES {_byte4_ranges()})"]
+    for f in qf:
+        expr = field_tok[f]
+        parts.append(f"tk_{f} AS (SELECT doc_id, {expr} AS tk FROM documents)")
+        parts.append(f"st_{f} AS (SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS sum_dl FROM tk_{f})")
+        parts.append(
+            f"ca_{f} AS (SELECT t.doc_id, t.tk, CAST(1.2 * (0.25 + 0.75 * nq.lo /"
+            f" (SELECT CAST(sum_dl AS DOUBLE) / n_docs FROM st_{f})) AS REAL) AS c"
+            f" FROM tk_{f} t JOIN nq ON len(t.tk) >= nq.lo AND len(t.tk) < nq.hi)")
+    clause_sqls = []
+    for ci, term in enumerate(clauses):
+        sides = []
+        for f, boost in qf.items():
+            tag = f"{ci}_{f}"
+            idf = (f"ln(1 + ((SELECT n_docs FROM st_{f}) - (SELECT df FROM d{tag}) + 0.5)"
+                   f" / ((SELECT df FROM d{tag}) + 0.5))")
+            parts.append(
+                f"m{tag} AS (SELECT doc_id, c, len(list_filter(tk, x -> x = '{term}')) AS tf FROM ca_{f})")
+            parts.append(f"d{tag} AS (SELECT COUNT(*) AS df FROM m{tag} WHERE tf > 0)")
+            parts.append(
+                f"s{tag} AS (SELECT doc_id, CAST({boost!r} * {idf} AS REAL)"
+                f" * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc"
+                f" FROM m{tag} WHERE tf > 0)")
+            sides.append(f"SELECT doc_id, CAST(sc AS DOUBLE) AS sd FROM s{tag}")
+        union = " UNION ALL ".join(sides)
+        parts.append(
+            f"c{ci} AS (SELECT doc_id, mx + {tie!r} * (tot - mx) AS cs, {ci} AS clause"
+            f" FROM (SELECT doc_id, MAX(sd) AS mx, SUM(sd) AS tot FROM ({union}) GROUP BY doc_id))")
+        clause_sqls.append(f"SELECT * FROM c{ci}")
+    allc = " UNION ALL ".join(clause_sqls)
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT rank, doc_id, score_r FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+                 ROUND(score, 4) AS score_r
+          FROM (SELECT doc_id, SUM(cs) AS score, COUNT(DISTINCT clause) AS nc
+                FROM ({allc}) GROUP BY doc_id)
+          WHERE nc >= {mm}
+        ) WHERE rank <= {k} ORDER BY rank
+    """
+
+
 def _edges(s: SparkSession, sf: str) -> DataFrame:
     """Bipartite part-order graph from lineitem, as directed edges both
     ways with typed node labels (P<partkey>, O<orderkey>)."""
@@ -679,6 +762,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_phrase": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
+        "edismax_qf_topk": _edismax_sql(
+            ["spark", "docs"], {"content": 2.0, "path_text": 1.0},
+            tie=0.1, mm=1),
+        "edismax_mm_topk": _edismax_sql(
+            ["spark", "merge", "txt"], {"content": 2.0, "path_text": 1.0},
+            tie=0.3, mm=2),
         "bm25_english_topk": _bm25_sql_disjunction(
             [("merg", 1.0), ("sort", 1.0)], chain=_english_chain()),
         "english_termfreq": f"""

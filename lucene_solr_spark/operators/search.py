@@ -703,6 +703,17 @@ class IndexReader:
             .select("doc_id", "score")
         )
 
+    def score_all(self, query: str | Query, analyzer: Optional[str] = None) -> DataFrame:
+        """-> DataFrame(doc_id, score) for EVERY matching doc (no top-k
+        truncation) — the per-field scorer edismax composes across
+        field indexes (operators/edismax.py). Shuffle carries
+        (doc_id, float32) pairs only."""
+        q = parse_query(query, analyzer=analyzer or self.manifest.analyzer) \
+            if isinstance(query, str) else query
+        q = rewrite(self._expand(q))
+        per_seg = self._per_segment(q, k=1 << 62, prune="exhaustive")
+        return per_seg.select("doc_id", "score")
+
     def search_with_total(self, query: str | Query, k: int = 10,
                           prune: str = "maxscore") -> Tuple[List[Tuple[int, float]], int]:
         """TopDocs equivalent: ([(doc_id, score)], exact total_hits)."""

@@ -623,7 +623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_frame_sample"] = lambda s, sf: mm.sample_frames(mm.synth_media(s, 64))
     q["mm_audio_features"] = lambda s, sf: mm.audio_features(mm.synth_media(s, 64))
 
-    return q
+    # ORACLED entries first (VERDICT r1 #9: r01 recorded exactly 50
+    # entries for 58 exposed — if the driver caps the count, the capped
+    # tail must be rows-only, never an oracled entry)
+    oracled = set(oracle_sql())
+    return {**{k: v for k, v in q.items() if k in oracled},
+            **{k: v for k, v in q.items() if k not in oracled}}
 
 
 def _edismax_readers(s: SparkSession, sf: str):

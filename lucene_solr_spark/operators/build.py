@@ -424,11 +424,13 @@ class Manifest:
 
     @property
     def doc_count(self) -> int:
-        return sum(s["n_docs"] for s in self.segments)
+        # purged segments (expungeDeletes) carry live-only counts; the
+        # raw n_docs keeps the original doc RANGE for MatchAll math
+        return sum(s.get("n_live", s["n_docs"]) for s in self.segments)
 
     @property
     def sum_dl(self) -> int:
-        return sum(s["sum_dl"] for s in self.segments)
+        return sum(s.get("sum_dl_live", s["sum_dl"]) for s in self.segments)
 
     def doc_base(self) -> Dict[int, tuple]:
         return {s["seg"]: (s["doc_base"], s["n_docs"]) for s in self.segments}

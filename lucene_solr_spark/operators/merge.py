@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -92,8 +92,22 @@ def plan_merges(manifest: Manifest, segs_per_tier: int = 10,
 # --------------------------------------------------------------- executor
 
 
+def _ragged_gather(buf: bytes, lo: np.ndarray, hi: np.ndarray) -> bytes:
+    """Concatenate buf[lo[i]:hi[i]] slices, fully vectorized."""
+    lens = (hi - lo).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    base = np.repeat(lo, lens)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens)
+    return arr[base + local].tobytes()
+
+
 def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
-                          shard_postings: int = DEFAULT_SHARD_POSTINGS):
+                          shard_postings: int = DEFAULT_SHARD_POSTINGS,
+                          deleted: Optional[np.ndarray] = None):
     """applyInPandas kernel over term_bucket groups of COLD (nowhere
     sharded) terms — each group holds every row of its terms: k-way
     doc-ordered merge of each term's posting rows across source
@@ -106,7 +120,15 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
     - only DOC deltas are re-encoded (block boundaries move), in ONE
       batched decode + ONE batched encode per task group, mirroring the
       build kernel's single-pass structure.
+
+    ``deleted`` (sorted doc_ids): the expungeDeletes path (`[U]
+    .../index/IndexWriter.java :: forceMergeDeletes`) — tombstoned
+    postings are DROPPED before re-gridding. tf/pos streams are
+    per-posting self-contained (values reset at posting starts), so the
+    purge is a vectorized ragged byte-gather of the kept postings, not
+    a re-encode; doc deltas are re-encoded anyway.
     """
+    deleted = np.empty(0, np.int64) if deleted is None else deleted
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.varint import (
@@ -136,6 +158,9 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
         n_post = int(row_off[-1])
         term_starts = row_off[row_t_starts]
         term_ends = row_off[row_t_ends]
+        # per-term metadata resolved from ROW space before any purge
+        term_names = [t_uniq[c_sorted[s]] for s in row_t_starts]
+        term_buckets = cols["term_bucket"][idx][row_t_starts].astype(np.int64)
 
         # batched decode of doc ids (absolute resets at original block
         # starts make the concatenated stream self-describing)
@@ -160,6 +185,45 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
         norms_all = np.frombuffer(norms_cat, dtype=np.uint8).astype(np.int64)
         pos_excl = np.zeros(n_post + 1, dtype=np.int64)
         np.cumsum(tf_all, out=pos_excl[1:])
+        # per-POSTING pos byte offsets (n_post+1): downstream slicing
+        # only ever needs posting-boundary offsets
+        pos_poff = pos_boff[pos_excl]
+
+        if deleted.size:
+            di = np.searchsorted(deleted, docs_all)
+            dic = np.minimum(di, len(deleted) - 1)
+            keep = ~((di < len(deleted)) & (deleted[dic] == docs_all))
+            if not keep.all():
+                t_sizes = term_ends - term_starts
+                t_id = np.repeat(np.arange(len(term_starts)), t_sizes)[keep]
+                tfs_cat = _ragged_gather(tfs_cat, tf_boff[:-1][keep],
+                                         tf_boff[1:][keep])
+                pos_cat = _ragged_gather(pos_cat, pos_poff[:-1][keep],
+                                         pos_poff[1:][keep])
+                tf_lens = (tf_boff[1:] - tf_boff[:-1])[keep]
+                pos_lens = (pos_poff[1:] - pos_poff[:-1])[keep]
+                docs_all = docs_all[keep]
+                tf_all = tf_all[keep]
+                norms_all = norms_all[keep]
+                norms_cat = norms_all.astype(np.uint8).tobytes()
+                n_post = len(docs_all)
+                tf_boff = np.zeros(n_post + 1, dtype=np.int64)
+                np.cumsum(tf_lens, out=tf_boff[1:])
+                pos_poff = np.zeros(n_post + 1, dtype=np.int64)
+                np.cumsum(pos_lens, out=pos_poff[1:])
+                pos_excl = np.zeros(n_post + 1, dtype=np.int64)
+                np.cumsum(tf_all, out=pos_excl[1:])
+                counts = np.bincount(t_id, minlength=len(term_starts))
+                nz = np.flatnonzero(counts)
+                if nz.size == 0:
+                    return pd.DataFrame(out)
+                term_names = [term_names[i] for i in nz]
+                term_buckets = term_buckets[nz]
+                sizes_nz = counts[nz]
+                term_ends = np.cumsum(sizes_nz)
+                term_starts = term_ends - sizes_nz
+                if n_post == 0:
+                    return pd.DataFrame(out)
 
         # new 128-block grid per term (shard boundaries align: multiple
         # of BLOCK_SIZE)
@@ -191,10 +255,9 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
         min_norm_t = np.minimum.reduceat(norms_all, term_starts)
 
         field0 = cols["field"][0]
-        bucket_r = cols["term_bucket"][idx]
         for t in range(len(term_starts)):
             ts, te = int(term_starts[t]), int(term_ends[t])
-            term = t_uniq[c_sorted[row_t_starts[t]]]
+            term = term_names[t]
             b0, b1 = int(blk_bounds[t]), int(blk_bounds[t + 1])
             if te - ts <= shard_postings:
                 shard_ranges = [(ts, te, b0, b1, 0)]
@@ -208,10 +271,10 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
                     shard_ranges.append((s0, e0, sb0, sb1, si))
             for (s0, e0, sb0, sb1, si) in shard_ranges:
                 d_lo, t_lo = dboff[s0], tf_boff[s0]
-                p_lo = pos_boff[pos_excl[s0]]
+                p_lo = pos_poff[s0]
                 out["field"].append(field0)
                 out["term"].append(term)
-                out["term_bucket"].append(int(bucket_r[row_t_starts[t]]))
+                out["term_bucket"].append(int(term_buckets[t]))
                 out["seg"].append(new_seg)
                 out["shard"].append(si)
                 out["df"].append(int(e0 - s0))
@@ -231,10 +294,10 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
                 out["blk_tf_off"].append(
                     (tf_boff[b_starts[sb0:sb1]] - t_lo).astype(np.int32).tolist())
                 out["blk_pos_off"].append(
-                    (pos_boff[pos_excl[b_starts[sb0:sb1]]] - p_lo).astype(np.int32).tolist())
+                    (pos_poff[b_starts[sb0:sb1]] - p_lo).astype(np.int32).tolist())
                 out["docs"].append(docs_buf[d_lo:dboff[e0]])
                 out["tfs"].append(tfs_cat[t_lo:tf_boff[e0]])
-                out["pos"].append(pos_cat[p_lo:pos_boff[pos_excl[e0]]])
+                out["pos"].append(pos_cat[p_lo:pos_poff[e0]])
                 out["norms"].append(norms_cat[s0:e0])
                 out["first_doc_key"].append(int(docs_all[s0]))
         return pd.DataFrame(out)
@@ -243,15 +306,35 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
 
 
 def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
-                   shard_postings: int = DEFAULT_SHARD_POSTINGS) -> Manifest:
+                   shard_postings: int = DEFAULT_SHARD_POSTINGS,
+                   purge_deleted: bool = False) -> Manifest:
     """Merge ``seg_ids`` (doc_base-adjacent) into one new segment and
     commit a new manifest generation.
 
     ``shard_postings`` is rounded UP to a multiple of the 128-doc block
     size (shard boundaries must fall on block boundaries in the flat
     posting format).
+
+    ``purge_deleted``: physically drop tombstoned docs from postings +
+    docmeta (expungeDeletes). The manifest entry then records live
+    counts (``n_live``/``sum_dl_live``) which collection statistics
+    use, while ``n_docs``/``doc_base`` keep the ORIGINAL doc range —
+    the MatchAll doc-universe arithmetic still enumerates the range and
+    masks with the (retained) tombstones, so queries need no special
+    case for partially-purged indexes.
     """
     from .build import BLOCK_SIZE
+
+    deleted_arr = None
+    if purge_deleted:
+        from .delete import load_deleted_ids
+
+        pre = read_manifest(index_dir)
+        if pre is not None:
+            deleted_arr = load_deleted_ids(index_dir, pre)
+        if deleted_arr is None or deleted_arr.size == 0:
+            deleted_arr = None
+            purge_deleted = False
 
     shard_postings = max(BLOCK_SIZE,
                          -(-shard_postings // BLOCK_SIZE) * BLOCK_SIZE)
@@ -293,11 +376,16 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     #   seg-ordered concat is a globally sorted stream and re-sharding
     #   it yields disjoint ordered ranges. TERM_BUCKETS (1024) spreads
     #   the cold work across tasks.
-    kernel = _merge_kernel_factory(new_seg, seg_order, shard_postings)
+    kernel = _merge_kernel_factory(new_seg, seg_order, shard_postings,
+                                   deleted=deleted_arr)
     # short-circuit: first-level merges of build segments have no
     # sharded rows at all (build never shards) — skip the hot/cold
-    # split's extra scan + joins and run the single cold kernel
-    has_hot = bool(postings.filter(F.col("shard") > 0).head(1))
+    # split's extra scan + joins and run the single cold kernel.
+    # When purging, hot rows must ALSO pass through the kernel (their
+    # postings may contain tombstoned docs), so the pass-through path
+    # is disabled.
+    has_hot = (not purge_deleted
+               and bool(postings.filter(F.col("shard") > 0).head(1)))
     if not has_hot:
         merged = postings.groupBy("term_bucket").applyInPandas(
             kernel, schema=MERGED_POSTINGS_SCHEMA)
@@ -331,16 +419,29 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     docmeta = spark.read.parquet(f"{index_dir}/docmeta").filter(
         F.col("seg").isin(list(seg_ids))
     )
+    if purge_deleted:
+        dels_df = spark.createDataFrame(
+            [(int(x),) for x in deleted_arr], "doc_id long")
+        docmeta = docmeta.join(F.broadcast(dels_df), "doc_id", "left_anti")
     docmeta.withColumn("seg", F.lit(new_seg)).write.mode("overwrite").partitionBy(
         "seg"
     ).parquet(f"{index_dir}/docmeta")
 
-    n_terms = (
+    stats_row = (
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("seg") == new_seg)
-        .select(F.count_distinct("term").alias("n"))
-        .collect()[0]["n"]
+        .agg(F.count_distinct("term").alias("n"),
+             F.sum("df").alias("np")).collect()[0]
     )
+    n_terms = stats_row["n"]
+    live_row = None
+    if purge_deleted:
+        live_row = (
+            spark.read.parquet(f"{index_dir}/docmeta")
+            .filter(F.col("seg") == new_seg)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl"))
+            .collect()[0]
+        )
     fp = 0
     for s in srcs:
         fp ^= int(s["input_fingerprint"], 16)
@@ -357,11 +458,23 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
         "doc_hi": max(s.get("doc_hi", s["doc_base"] + s["n_docs"]) for s in srcs),
         "sum_dl": sum(s["sum_dl"] for s in srcs),
         "n_terms": int(n_terms),
-        "n_postings": sum(s["n_postings"] for s in srcs),
+        "n_postings": (int(stats_row["np"] or 0) if purge_deleted
+                       else sum(s["n_postings"] for s in srcs)),
         "input_fingerprint": f"{fp:016x}",
         "postings_bytes": int(postings_bytes),
         "source": "merge(" + ",".join(str(s["seg"]) for s in srcs) + ")",
     }
+    if purge_deleted:
+        new_entry["purged"] = True
+        new_entry["n_live"] = int(live_row["n"] or 0)
+        new_entry["sum_dl_live"] = int(live_row["dl"] or 0)
+    elif any("n_live" in s for s in srcs):
+        # merging a purged segment with unpurged ones: live counts for
+        # the unpurged side stay delete-blind (their tombstones have
+        # not been purged), matching per-segment Lucene semantics
+        new_entry["n_live"] = sum(s.get("n_live", s["n_docs"]) for s in srcs)
+        new_entry["sum_dl_live"] = sum(
+            s.get("sum_dl_live", s["sum_dl"]) for s in srcs)
     keep = [s for s in m.segments if s["seg"] not in set(seg_ids)]
     out = Manifest(
         gen=m.gen + 1, docs_per_seg=m.docs_per_seg, analyzer=m.analyzer,
@@ -383,6 +496,31 @@ def force_merge(spark: SparkSession, index_dir: str,
             return m
         for group in merges:
             m = merge_segments(spark, index_dir, group)
+
+
+def expunge_deletes(spark: SparkSession, index_dir: str) -> Manifest:
+    """forceMergeDeletes (`[U] .../index/IndexWriter.java ::
+    forceMergeDeletes`): rewrite every segment whose doc range contains
+    tombstones, physically dropping the deleted postings + docmeta rows.
+    Tombstone files stay listed in the manifest — they still drive the
+    MatchAll range mask — but collection statistics switch to the live
+    counts, matching Lucene's post-merge stats."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {index_dir}")
+    from .delete import load_deleted_ids
+
+    dels = load_deleted_ids(index_dir, m)
+    if dels.size == 0:
+        return m
+    for s in list(m.segments):
+        lo = s.get("doc_lo", s["doc_base"])
+        hi = s.get("doc_hi", s["doc_base"] + s["n_docs"])
+        i0, i1 = np.searchsorted(dels, [lo, hi])
+        if i1 > i0 and not s.get("purged"):
+            m = merge_segments(spark, index_dir, [s["seg"]],
+                               purge_deleted=True)
+    return m
 
 
 def vacuum(index_dir: str) -> List[int]:

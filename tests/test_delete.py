@@ -10,6 +10,7 @@ from lucene_solr_spark.operators.delete import delete_by_term, delete_documents
 from lucene_solr_spark.operators.merge import force_merge
 from lucene_solr_spark.operators.search import IndexReader
 from lucene_solr_spark.sources import load_source_table
+from tests.test_merge_resume import MERGE_QUERIES
 
 
 @pytest.fixture(scope="module")
@@ -103,3 +104,41 @@ def test_update_document_pattern(spark, corpus, tmp_path):
     assert r2.count("uniqreplacementtoken") == 1
     assert victim not in _ids(r2.search_with_total("spark", k=50)[0])
     assert new_id in _ids(r2.search_with_total("uniqreplacementtoken", k=5)[0])
+
+
+def test_expunge_deletes_physical_purge(spark, corpus, tmp_path):
+    """expungeDeletes: postings/docmeta physically rewritten without
+    tombstoned docs; stats switch to live counts (== a fresh index over
+    the live corpus); MatchAll still enumerates correctly."""
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)
+    rdr0 = IndexReader(spark, d)
+    victims = [doc for doc, _ in rdr0.search_with_total("spark", k=8)[0]][:5]
+    delete_documents(spark, d, victims)
+    n_total = rdr0.doc_count
+
+    from lucene_solr_spark.operators.merge import expunge_deletes
+
+    m = expunge_deletes(spark, d)
+    assert any(s.get("purged") for s in m.segments)
+    rdr = IndexReader(spark, d)
+    # stats are now live-only
+    assert rdr.doc_count == n_total - len(victims)
+    # PHYSICAL absence: even with the tombstone mask disabled, purged
+    # docs are gone from the postings
+    rdr.deleted = np.zeros(0, dtype=np.int64)
+    assert not set(victims) & {r["doc_id"] for r in rdr.termfreq("spark").collect()}
+    # docmeta purged too
+    assert rdr.docmeta.count() == n_total - len(victims)
+
+    # ranking == a fresh index built over only the live docs (same
+    # doc_ids, live stats): full rank identity, scores included
+    live = corpus.filter(~F.col("doc_id").isin([int(v) for v in victims]))
+    d2 = str(tmp_path / "fresh")
+    build_index(spark, live, d2, docs_per_seg=64)
+    fresh = IndexReader(spark, d2)
+    rdr2 = IndexReader(spark, d)  # re-open with tombstones active
+    for q in MERGE_QUERIES:
+        assert rdr2.search_with_total(q, k=30) == fresh.search_with_total(q, k=30), q
+    # MatchAll over the partially-purged index = live docs
+    assert rdr2.count("*") == n_total - len(victims)

@@ -24,6 +24,8 @@ from lucene_solr_spark.functions import datemath as dm
 from lucene_solr_spark.functions import valuesource as vs
 from lucene_solr_spark.operators import edismax as ed
 from lucene_solr_spark.operators import graph as gr
+from lucene_solr_spark.operators import clustering as cl
+from lucene_solr_spark.operators import ltr
 from lucene_solr_spark.operators import highlight as hl
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
@@ -334,6 +336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ed.edismax_search(_edismax_readers(s, sf), "content^2 path_text",
                           "spark merge txt", tiebreak=0.3, mm=2, k=10))
 
+    # ---- LTR re-rank (SURVEY §2.13 solr/contrib/ltr LinearModel):
+    # BM25 first pass -> feature extraction -> linear model re-sort
+    q["ltr_rerank_topk"] = lambda s, sf: ltr.ltr_rerank_bm25(
+        _index_for(s, sf, analyzer="simple"), "content:spark",
+        {"bm25": 0.7, "log_dl": 0.1, "recency": 0.2})
+
     # ---- EnglishAnalyzer chain (SURVEY §2.2: possessive -> stop ->
     # Porter): ranked with a full SQL oracle (stem map embedded from
     # the shared Porter implementation)
@@ -542,6 +550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _planted_embeddings(s, sf), 0.999
     ).select("a", "b", F.round("cosine", 4).alias("cosine_r"))
 
+    # clustering (SURVEY §2.13, rows-only: iterative algorithm — the
+    # determinism/convergence checks live in tests/test_clustering.py)
+    q["cluster_kmeans_summary"] = lambda s, sf: cl.cluster_summary(
+        _t(s, sf, "embeddings"), k=4, iters=4)
+
     # ---- similarity search
     q["ann_cosine_topk"] = lambda s, sf: sim.cosine_topk(
         _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10
@@ -629,6 +642,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracled = set(oracle_sql())
     return {**{k: v for k, v in q.items() if k in oracled},
             **{k: v for k, v in q.items() if k not in oracled}}
+
+
+def _ltr_sql(term: str, w1: float, w2: float, w3: float,
+             k: int = 10, cand: int = 50) -> str:
+    """LTR oracle: float32 BM25 candidates (top-``cand``), features in
+    double (bm25, ln(1+dl), 1000/(id+10)), linear combine in the same
+    left-associative order as operators/ltr.linear_rerank."""
+    prelude = _BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0")
+    ctes = _bm25_term_ctes(0, term, 1.0)
+    model = f"({w1!r} * bm25 + {w2!r} * log_dl) + {w3!r} * recency"
+    return f"""{prelude}{ctes},
+    cand AS (
+      SELECT doc_id, sc, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS r
+      FROM s0),
+    feats AS (
+      SELECT c.doc_id, CAST(c.sc AS DOUBLE) AS bm25,
+             ln(1.0 + len(t.tk)) AS log_dl,
+             1000.0 / (c.doc_id + 10.0) AS recency
+      FROM cand c JOIN toks t ON t.doc_id = c.doc_id
+      WHERE c.r <= {cand})
+    SELECT doc_id, ROUND({model}, 4) AS ltr_score_r, ROUND(bm25, 4) AS bm25_r
+    FROM feats ORDER BY {model} DESC, doc_id LIMIT {k}"""
 
 
 def _edismax_readers(s: SparkSession, sf: str):
@@ -767,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_phrase": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
+        "ltr_rerank_topk": _ltr_sql("spark", 0.7, 0.1, 0.2),
         "edismax_qf_topk": _edismax_sql(
             ["spark", "docs"], {"content": 2.0, "path_text": 1.0},
             tie=0.1, mm=1),

@@ -26,6 +26,7 @@ from lucene_solr_spark.operators import edismax as ed
 from lucene_solr_spark.operators import graph as gr
 from lucene_solr_spark.operators import clustering as cl
 from lucene_solr_spark.operators import ltr
+from lucene_solr_spark.operators import mathexpr as mx
 from lucene_solr_spark.operators import highlight as hl
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
@@ -516,6 +517,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          / F.count_distinct(F.col("user_id")) <= 0.05).alias("approx_within_5pct"),
     )
     q["parallel_sql_revenue"] = _parallel_sql_revenue
+    # let/eval math expressions (SURVEY §2.9-2.10 Solr math library)
+    q["math_corr_regress"] = lambda s, sf: mx.let_eval(
+        s, {"li": _t(s, sf, "lineitem")},
+        """SELECT ROUND(c.corr, 6) AS corr_qp, ROUND(r.slope, 6) AS slope,
+                  ROUND(r.intercept, 4) AS intercept, r.n AS n
+           FROM (SELECT CORR(l_quantity, l_extendedprice) AS corr FROM li) c,
+                (SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS slope,
+                        REGR_INTERCEPT(l_extendedprice, l_quantity) AS intercept,
+                        REGR_COUNT(l_extendedprice, l_quantity) AS n FROM li) r""")
     q["datemath_week_events"] = lambda s, sf: _t(s, sf, "events").filter(
         (F.col("ts") >= F.lit(dm.parse_date_math("2024-01-10T06:30:00Z/DAY")))
         & (F.col("ts") < F.lit(dm.parse_date_math("2024-01-10T06:30:00Z/DAY+7DAYS")))
@@ -837,6 +847,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS exact_users,
                    TRUE AS approx_within_5pct
             FROM events
+        """,
+        "math_corr_regress": """
+            SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+                   ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+                   ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+                   REGR_COUNT(l_extendedprice, l_quantity) AS n
+            FROM lineitem
         """,
         "parallel_sql_revenue": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,

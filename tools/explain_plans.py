@@ -111,6 +111,31 @@ def main() -> None:
         "expressions) and TakeOrderedAndProject for the top-k.",
     )
 
+    # 4b. round-2 operators: edismax cross-field combine + block join
+    add(
+        "edismax multi-field combine",
+        __import__("lucene_solr_spark.operators.edismax",
+                   fromlist=["edismax_search"]).edismax_search(
+            entry._edismax_readers(spark, sf_dir),
+            "content^2 path_text", "spark docs", tiebreak=0.1, mm=1, k=10),
+        "Expect: only (doc_id, score) pairs in the aggregation shuffles "
+        "(per-clause dismax + mm count) and TakeOrderedAndProject for "
+        "the final top-k — the corpus never re-shuffles.",
+    )
+    add(
+        "Block join (parent/child)",
+        sx.block_join_parent(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_quantity",
+                "l_extendedprice"),
+            orders.select("o_orderkey", "o_custkey"),
+            "o_orderkey", F.col("l_quantity") >= 48,
+            F.max("l_extendedprice").alias("mx"),
+        ),
+        "Expect: child filter pushed to the scan, partial+final "
+        "HashAggregate keyed on the parent, then a join back to parents.",
+    )
+
     # 5. metadata-only predicate pushdown on a filtered source read
     add(
         "Source scan with filter + projection pushdown",

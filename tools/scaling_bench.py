@@ -44,6 +44,29 @@ def gen_corpus(n_docs: int, path: str) -> None:
     spark.stop()
 
 
+def _membw(nproc: int, secs: float = 2.0) -> float:
+    """Aggregate memory-copy bandwidth (GB/s) across nproc processes."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as p:
+        res = p.map(_membw_one, [secs] * nproc)
+    return sum(res) / 1e9
+
+
+def _membw_one(secs: float) -> float:
+    import time
+
+    import numpy as np
+
+    a = np.zeros(40_000_000, dtype=np.uint8)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        a.copy()
+        n += 1
+    return n * 40_000_000 * 2 / (time.time() - t0)
+
+
 def run_level(cpus: int, corpus: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_job.py"),
@@ -61,6 +84,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=60000)
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--levels", default="2,8,32",
+                    help="comma-separated core counts; efficiency is "
+                         "reported for every (n, 4n) pair present")
     args = ap.parse_args()
 
     corpus = os.path.join(REPO, ".work", "scaling_corpus")
@@ -68,25 +94,39 @@ def main() -> None:
         print(f"generating {args.docs}-doc deterministic corpus ...", file=sys.stderr)
         gen_corpus(args.docs, corpus)
 
-    levels = [run_level(c, corpus) for c in (2, 8, 32)]
+    # environment probe: the build kernel is memory-streaming, so
+    # HOST-level memory-bandwidth contention (co-tenant VMs; invisible
+    # to CPU load) directly corrupts scaling numbers. Record the
+    # aggregate copy bandwidth at each level's process count alongside
+    # the measurement so a degraded run is attributable.
+    membw = {n: round(_membw(n), 1) for n in (1, 4, 8)}
+    print(f"membw probe GB/s {membw}", file=sys.stderr)
+
+    core_counts = [int(x) for x in args.levels.split(",")]
+    levels = [run_level(c, corpus) for c in core_counts]
     tp = {lv["cpus"]: lv["docs_per_sec"] for lv in levels}
-    # primary N -> 4N pair: 2 -> 8 cores (below the single-box DRAM
-    # bandwidth ceiling, the regime that models per-executor memory on a
-    # real cluster); 8 -> 32 reported as the saturated supplement.
-    eff_2_8 = (tp[8] / tp[2]) / 4
-    eff_8_32 = (tp[32] / tp[8]) / 4
+    # primary N -> 4N pair: the lowest pair below the single-box DRAM
+    # bandwidth ceiling (models per-executor memory on a real cluster,
+    # where each executor brings its own memory subsystem); saturated
+    # pairs are reported as supplements.
+    effs = {f"{n}_{4*n}": round((tp[4*n] / tp[n]) / 4, 3)
+            for n in core_counts if 4 * n in tp}
+    primary = sorted(effs)[0] if effs else None
     result = {
-        "efficiency": round(eff_2_8, 3),
-        "efficiency_8_32": round(eff_8_32, 3),
+        "efficiency": effs.get(primary),
+        "pairs": effs,
+        "membw_probe_gbps": membw,
         "levels": levels,
     }
     for lv in levels:
         print(f"local[{lv['cpus']:>2}]: build {lv['build_sec']}s "
               f"({lv['docs_per_sec']} docs/s), query p50 {lv['query_p50_ms']}ms",
               file=sys.stderr)
-    print(f"scaling efficiency N=2->4N=8: {eff_2_8:.3f} "
-          f"({'PASS' if eff_2_8 >= 0.8 else 'FAIL'} vs >=0.8 gate); "
-          f"8->32 (DRAM-saturated single box): {eff_8_32:.3f}", file=sys.stderr)
+    for pair, e in sorted(effs.items()):
+        n, n4 = pair.split("_")
+        print(f"scaling efficiency N={n}->4N={n4}: {e:.3f} "
+              f"({'PASS' if e >= 0.8 else 'FAIL'} vs >=0.8 gate)",
+              file=sys.stderr)
     print(json.dumps(result))
 
 

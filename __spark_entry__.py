@@ -351,6 +351,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["english_termfreq"] = lambda s, sf: _index_for(
         s, sf, analyzer="english").termfreq("valu")
 
+    # ---- analyzer breadth (SURVEY §2.2: shingle / edge-ngram /
+    # synonym filters) — index-content invariants vs raw-text SQL
+    q["shingle_termfreq"] = lambda s, sf: _index_for(
+        s, sf, analyzer="shingle").termfreq("spark merge")
+    q["edge_ngram_termfreq"] = lambda s, sf: _index_for(
+        s, sf, analyzer="edge_ngram").termfreq("spar")
+    q["synonym_termfreq"] = lambda s, sf: _index_for(
+        s, sf, analyzer="synonym_demo").termfreq("flame")
+
     # ---- deletes (SURVEY §2.3 updateDocument/PendingDeletes):
     # tombstoned ids must vanish from ranking and termfreq while stats
     # stay delete-blind (oracled: same BM25 SQL + live filter)
@@ -898,6 +907,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n, SUM(doc_id) AS id_sum,
                    SUM(LENGTH(text)) AS text_chars
             FROM documents
+        """,
+        "shingle_termfreq": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     len([i FOR i IN range(1, len(tk))
+                          IF tk[i] = 'spark' AND tk[i+1] = 'merge']) AS tf
+              FROM toks
+            ) WHERE tf > 0
+        """,
+        "edge_ngram_termfreq": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     len(list_filter(tk, t -> length(t) >= 4
+                                          AND t LIKE 'spar%')) AS tf
+              FROM toks
+            ) WHERE tf > 0
+        """,
+        "synonym_termfreq": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     len(list_filter(tk, t -> t = 'spark' OR t = 'flame')) AS tf
+              FROM toks
+            ) WHERE tf > 0
         """,
         "delete_bm25_topk": _bm25_sql_disjunction(
             [("spark", 1.0), ("merge", 1.0)], live="doc_id % 7 != 0"),

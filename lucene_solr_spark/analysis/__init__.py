@@ -45,6 +45,7 @@ __all__ = [
     "TOKEN_RE",
     "SIMPLE_TOKEN_RE",
     "tokenize",
+    "tokenize_for_phrase",
     "tokenize_series",
     "ENGLISH_STOP_WORDS",
     "analyze",
@@ -71,7 +72,27 @@ TOKEN_RE = re.compile(rf"\w+(?:{_SEP}\w+)*", re.UNICODE)
 SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
-              "standard_stop": TOKEN_RE, "english": TOKEN_RE}
+              "standard_stop": TOKEN_RE, "english": TOKEN_RE,
+              "whitespace": re.compile(r"\S+"),
+              "keyword": None,  # whole input = one token
+              "ascii_folding": TOKEN_RE,
+              "shingle": TOKEN_RE,
+              "edge_ngram": TOKEN_RE,
+              "synonym_demo": TOKEN_RE}
+
+# EdgeNGram bounds (`[U] lucene/analysis/common/.../ngram/
+# EdgeNGramTokenFilter.java`): emit prefixes of length min..max per
+# token (grams only, like the filter with outputOriginal=false).
+EDGE_NGRAM_MIN, EDGE_NGRAM_MAX = 2, 5
+
+# SynonymGraphFilter demo map (`[U] .../synonym/SynonymGraphFilter.java`,
+# expand=true): synonyms are emitted AT THE SAME POSITION as the source
+# token (posIncr 0), so phrases and proximity treat them as alternatives.
+SYNONYM_DEMO_MAP = {
+    "spark": ("flame",),
+    "fast": ("quick", "rapid"),
+    "big": ("large",),
+}
 
 # StopFilter (SURVEY.md §2.2, `[U] .../analysis/StopFilter.java`) with
 # Lucene's classic English stop set (`[U] .../analysis/en/
@@ -85,9 +106,57 @@ ENGLISH_STOP_WORDS = frozenset(
     "such that the their then there these they this to was will with".split()
 )
 
-_STOP_SETS = {"standard": frozenset(), "simple": frozenset(),
-              "standard_stop": ENGLISH_STOP_WORDS,
-              "english": ENGLISH_STOP_WORDS}
+_STOP_SETS = {name: frozenset() for name in _ANALYZERS}
+_STOP_SETS["standard_stop"] = ENGLISH_STOP_WORDS
+_STOP_SETS["english"] = ENGLISH_STOP_WORDS
+
+
+def _fold_ascii(text: str) -> str:
+    """ASCIIFoldingFilter approximation (`[U] .../miscellaneous/
+    ASCIIFoldingFilter.java` is a ~2000-case mapping table; NFKD +
+    combining-mark strip covers the Latin accent family, documented
+    subset)."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", text)
+        if not unicodedata.combining(c)
+    )
+
+
+def _emit_shingle(raw):
+    """ShingleFilter (`[U] .../shingle/ShingleFilter.java`) defaults:
+    output unigrams + 2-shingles ('a b'), shingle at the position of
+    its first token."""
+    out = list(zip(raw, range(len(raw))))
+    out += [(f"{a} {b}", i) for i, (a, b) in enumerate(zip(raw, raw[1:]))]
+    out.sort(key=lambda p: p[1])
+    return out
+
+
+def _emit_edge_ngram(raw):
+    out = []
+    for i, t in enumerate(raw):
+        for n in range(EDGE_NGRAM_MIN, min(EDGE_NGRAM_MAX, len(t)) + 1):
+            out.append((t[:n], i))
+    return out
+
+
+def _emit_synonym(raw):
+    out = []
+    for i, t in enumerate(raw):
+        out.append((t, i))
+        for syn in SYNONYM_DEMO_MAP.get(t, ()):
+            out.append((syn, i))  # posIncr 0: same position
+    return out
+
+
+#: multi-emission token filters: text -> [(term, position)] where one
+#: source token may yield several terms (shingles, grams, synonyms).
+#: These route through the explicit-positions build path (like stop
+#: gaps); dl = number of EMITTED tokens (FieldInvertState semantics).
+_EMITTERS = {"shingle": _emit_shingle, "edge_ngram": _emit_edge_ngram,
+             "synonym_demo": _emit_synonym}
 
 # EnglishAnalyzer chain (`[U] lucene/analysis/common/.../en/
 # EnglishAnalyzer.java`): StandardTokenizer -> EnglishPossessiveFilter
@@ -155,8 +224,10 @@ def tokens_column(col, analyzer: str = "standard"):
 
 
 def analyzer_has_gaps(analyzer: str) -> bool:
-    """True when the chain removes tokens, leaving position holes."""
-    return bool(_STOP_SETS[analyzer])
+    """True when the chain's positions are not 0..dl-1 (stop-filter
+    holes, or multi-emission filters stacking terms on one position) —
+    the build then uses the explicit (term, position) stream."""
+    return bool(_STOP_SETS[analyzer]) or analyzer in _EMITTERS
 
 
 def _split_long(tok: str) -> List[str]:
@@ -167,8 +238,16 @@ def _split_long(tok: str) -> List[str]:
 
 def _raw_tokens(text: str, analyzer: str) -> List[str]:
     """Pre-stop-filter token stream (positions = list index)."""
+    if analyzer == "keyword":
+        # KeywordTokenizer: the whole input verbatim (no lowercase)
+        return _split_long(text) if text else []
+    if analyzer == "ascii_folding":
+        text = _fold_ascii(text)
     pattern = _ANALYZERS[analyzer]
-    raw = pattern.findall(text.lower())
+    if analyzer == "whitespace":
+        raw = pattern.findall(text)  # WhitespaceAnalyzer: no lowercase
+    else:
+        raw = pattern.findall(text.lower())
     if analyzer == "english":
         raw = [_strip_possessive(t) for t in raw]
     out: List[str] = []
@@ -178,6 +257,19 @@ def _raw_tokens(text: str, analyzer: str) -> List[str]:
         else:
             out.append(t)
     return out
+
+
+def tokenize_for_phrase(text: str, analyzer: str = "standard") -> List[str]:
+    """Phrase-query tokenization: multi-emission analyzers (shingle /
+    edge-ngram / synonym) expand to the UNIGRAM base chain — a phrase
+    must stay one term per position (Lucene's SynonymGraphFilter builds
+    a graph phrase; same-position synonyms in the INDEX still match the
+    base phrase, which covers the expand=true indexing side)."""
+    if analyzer in _EMITTERS:
+        if text is None:
+            return []
+        return _raw_tokens(text, analyzer)
+    return tokenize(text, analyzer)
 
 
 def tokenize(text: str, analyzer: str = "standard") -> List[str]:
@@ -194,6 +286,9 @@ def tokenize(text: str, analyzer: str = "standard") -> List[str]:
     if text is None:
         return []
     out = _raw_tokens(text, analyzer)
+    emit = _EMITTERS.get(analyzer)
+    if emit:
+        return [t for t, _ in emit(out)]
     stop = _STOP_SETS[analyzer]
     if stop:
         out = [t for t in out if t not in stop]
@@ -215,6 +310,9 @@ def analyze(text: str, analyzer: str = "standard") -> List[Tuple[str, int]]:
     if text is None:
         return []
     raw = _raw_tokens(text, analyzer)
+    emit = _EMITTERS.get(analyzer)
+    if emit:
+        return emit(raw)
     stop = _STOP_SETS[analyzer]
     stem = _stemmer_for(analyzer)
     if not stop and not stem:
@@ -231,6 +329,9 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     This is the kernel the Arrow-batched UDFs call — pandas `.str`
     fast path, no per-row Spark Python UDF (BASELINE.json:L15).
     """
+    if analyzer in _EMITTERS or analyzer in ("keyword", "whitespace",
+                                             "ascii_folding"):
+        return texts.fillna("").map(lambda t: tokenize(t, analyzer))
     pattern = _ANALYZERS[analyzer]
     lowered = texts.fillna("").str.lower()
     toks = lowered.str.findall(pattern)

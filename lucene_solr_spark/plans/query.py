@@ -29,7 +29,7 @@ import re
 from dataclasses import dataclass, field
 from typing import List, Tuple, Union
 
-from ..analysis import tokenize
+from ..analysis import tokenize, tokenize_for_phrase
 
 __all__ = [
     "Query",
@@ -418,7 +418,7 @@ class _Parser:
             slop, boost = self._trailing_slop_boost()
             if boost == 1.0:
                 boost = self._trailing_boost()
-            terms = tuple(tokenize(val.strip('"'), self.analyzer))
+            terms = tuple(tokenize_for_phrase(val.strip('"'), self.analyzer))
             if not terms:
                 # analyzes to nothing (e.g. all stopwords) -> matches
                 # nothing, like a clause the analyzer dropped entirely

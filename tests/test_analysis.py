@@ -175,3 +175,55 @@ def test_english_engine_matches_oracle(spark, tmp_path):
         assert [(dd, np.float32(s)) for dd, s in got] == \
             [(dd, np.float32(s)) for dd, s in exp.score_docs], q
         assert total == exp.total_hits, q
+
+
+def test_whitespace_keyword_ascii_folding():
+    from lucene_solr_spark.analysis import tokenize
+
+    # WhitespaceAnalyzer: split on whitespace only, NO lowercase
+    assert tokenize("Foo-Bar baz.Qux", "whitespace") == ["Foo-Bar", "baz.Qux"]
+    # KeywordAnalyzer: whole input verbatim
+    assert tokenize("Foo Bar/baz", "keyword") == ["Foo Bar/baz"]
+    # ASCIIFolding: accents stripped before standard tokenization
+    assert tokenize("Motörhead café naïve façade", "ascii_folding") == \
+        ["motorhead", "cafe", "naive", "facade"]
+
+
+def test_shingle_edge_ngram_synonym_streams():
+    from lucene_solr_spark.analysis import analyze, tokenize
+
+    assert tokenize("a b c", "shingle") == ["a", "a b", "b", "b c", "c"]
+    assert analyze("a b c", "shingle") == [
+        ("a", 0), ("a b", 0), ("b", 1), ("b c", 1), ("c", 2)]
+
+    # edge ngrams 2..5, grams only
+    assert tokenize("sparkly go", "edge_ngram") == \
+        ["sp", "spa", "spar", "spark", "go"]
+    assert analyze("sparkly go", "edge_ngram") == [
+        ("sp", 0), ("spa", 0), ("spar", 0), ("spark", 0), ("go", 1)]
+
+    # synonyms at the SAME position (posIncr 0)
+    assert analyze("big spark", "synonym_demo") == [
+        ("big", 0), ("large", 0), ("spark", 1), ("flame", 1)]
+
+
+def test_synonym_index_matches_synonym_query(spark, tmp_path):
+    """A synonym-analyzed index matches the synonym term, and phrases
+    treat same-position synonyms as alternatives."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+
+    src = spark.createDataFrame(
+        [(0, "r", "p", "c", "t", "the big spark engine"),
+         (1, "r", "p", "c", "t", "a flame burns"),
+         (2, "r", "p", "c", "t", "nothing here")],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, src, d, docs_per_seg=4, analyzer="synonym_demo")
+    idx = IndexReader(spark, d)
+    # 'flame' matches doc 0 (synonym of spark) AND doc 1 (literal)
+    assert {doc for doc, _ in idx.search_with_total("flame", k=10)[0]} == {0, 1}
+    # phrase across a same-position synonym: "large spark" matches doc 0
+    # because 'large' sits at the same position as 'big'
+    assert {doc for doc, _ in idx.search_with_total('"large spark"', k=10)[0]} == {0}

@@ -583,6 +583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "embeddings").filter(F.col("vec_id") < 5),
         k=3,
     ).select("probe_id", "rnk", "target_id", F.round("cosine", 4).alias("cosine_r"))
+    q["ann_ivf_topk"] = lambda s, sf: sim.ivf_topk(
+        _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10,
+        n_clusters=8, n_probe=5,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine_r"))
     q["ann_lsh_topk"] = lambda s, sf: sim.lsh_bucket_topk(
         _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10
     ).select("vec_id", F.round("cosine", 4).alias("cosine_r"))

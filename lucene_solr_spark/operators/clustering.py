@@ -51,9 +51,10 @@ def kmeans_assign(df: DataFrame, centroids: np.ndarray,
                      cluster.alias("cluster"))
 
 
-def kmeans(df: DataFrame, k: int = 4, iters: int = 5,
-           vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Deterministic Lloyd k-means; returns (id, cluster)."""
+def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 5,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic Lloyd k-means; returns the (k, dim) centroids."""
     init = (df.orderBy(id_col).limit(k)
             .select(id_col, vec_col).collect())
     centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
@@ -68,6 +69,13 @@ def kmeans(df: DataFrame, k: int = 4, iters: int = 5,
         for r in rows:
             nxt[r["cluster"], r["dim"]] = r["m"]
         centroids = nxt
+    return centroids
+
+
+def kmeans(df: DataFrame, k: int = 4, iters: int = 5,
+           vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd k-means; returns (id, cluster)."""
+    centroids = kmeans_fit(df, k, iters, vec_col, id_col)
     return kmeans_assign(df, centroids, vec_col, id_col).select(id_col, "cluster")
 
 

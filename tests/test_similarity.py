@@ -98,3 +98,29 @@ def test_lsh_near_dup_matches_exact(emb):
 def test_fixed_query_vector_unit():
     v = sim.fixed_query_vector(64)
     assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-12
+
+
+def test_ivf_topk_exact_on_clustered_data(spark):
+    """IVF with planted well-separated clusters: probing the nearest
+    lists recovers the exact brute-force top-k (the structured-data
+    regime IVF exists for); on unstructured vectors recall is governed
+    by n_probe (driver entry is rows-only for that reason)."""
+    import numpy as np
+
+    from lucene_solr_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 1, (6, 16)) * 8
+    rows = []
+    for i in range(300):
+        c = i % 6
+        v = centers[c] + rng.normal(0, 0.2, 16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in centers[2] + 0.05]
+    exact = [(r["vec_id"], round(r["cosine"], 6))
+             for r in sim.cosine_topk(df, q, 10).collect()]
+    ivf = [(r["vec_id"], round(r["cosine"], 6))
+           for r in sim.ivf_topk(df, q, 10, n_clusters=6, n_probe=2,
+                                 iters=4).collect()]
+    assert ivf == exact

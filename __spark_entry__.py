@@ -491,6 +491,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
         "cnt", "sum_value",
     )
+    # native session windows (the batch face of the stateful
+    # sessionize operator in streaming/): merge events with gap <= 30min
+    q["session_window_events"] = lambda s, sf: (
+        _t(s, sf, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_start"), "n_events")
+    )
     q["significant_terms_en"] = lambda s, sf: sx.significant_terms(
         _docs(s, sf).filter(F.col("lang") == "en"), _docs(s, sf), "source"
     ).select("source", "fg_cnt", "bg_cnt", F.round("score", 6).alias("score_r"))
@@ -1041,6 +1051,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day, COUNT(*) AS cnt,
                    SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "session_window_events": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT user_id, ts,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "significant_terms_en": """
             WITH fgc AS (SELECT source, COUNT(*) AS fg_cnt FROM documents

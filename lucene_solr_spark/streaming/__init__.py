@@ -27,7 +27,67 @@ from pyspark.sql import functions as F
 
 from ..operators.build import build_index, read_manifest
 
-__all__ = ["incremental_index", "topic_stream", "daemon_counts"]
+__all__ = ["incremental_index", "topic_stream", "daemon_counts",
+           "sessionize"]
+
+
+def sessionize(stream: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", gap_seconds: int = 600) -> DataFrame:
+    """Custom STATEFUL operator via ``applyInPandasWithState`` (the
+    seam the task brief names for operators Spark lacks): inactivity-
+    gap sessionization of an event stream.
+
+    Per key, events accumulate into the open session carried in group
+    state across micro-batches (checkpointed — a restarted query
+    resumes its open sessions); an event arriving more than
+    ``gap_seconds`` after the previous one CLOSES the session, which is
+    emitted as (key, session_start, session_end, n_events). Only closed
+    sessions are emitted, so the output is deterministic and
+    replay-stable; production variants would add an event-time timeout
+    + watermark to flush idle sessions.
+
+    State is three int64s per key — at 10^12 events the state store
+    scales with |keys|, not |events|, and each micro-batch shuffles
+    only its own rows once (the groupBy key partitioning).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+    out_schema = (f"{key_col} long, session_start timestamp, "
+                  f"session_end timestamp, n_events long")
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        parts = [pdf[ts_col] for pdf in pdf_iter]
+        ts = pd.concat(parts).sort_values()
+        micros = (ts.astype("int64") // 1000).tolist()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in micros:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame({
+                key_col: [int(key[0])] * len(closed),
+                "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                "n_events": [c[2] for c in closed],
+            })
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
 
 
 def incremental_index(

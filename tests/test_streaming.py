@@ -120,3 +120,59 @@ def test_daemon_counts_matches_batch_rollup(spark, sf_dir, tmp_path):
     # flush — require a meaningful, correct subset
     assert got and got <= expect
     assert len(got) >= len(expect) - 1
+
+
+def test_sessionize_stateful_across_restarts(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emit with
+    exact bounds/counts, and the OPEN session survives a query restart
+    through the state checkpoint."""
+    from datetime import datetime, timedelta
+
+    from lucene_solr_spark.streaming import sessionize
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/{name}")
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, ts timestamp") \
+            .option("pathGlobFilter", "*.parquet") \
+            .parquet(src_dir + "/*")
+        q = sessionize(stream, "user_id", "ts", gap_seconds=600) \
+            .writeStream.format("parquet").option("path", out_dir) \
+            .option("checkpointLocation", ckpt).outputMode("append") \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    # batch 1: user 1 has two sessions separated by >10min; the second
+    # stays OPEN (only closed sessions emit)
+    write_batch("b1", [
+        (1, t0), (1, t0 + timedelta(minutes=2)),
+        (1, t0 + timedelta(minutes=30)),
+        (2, t0),
+    ])
+    run_once()
+    out = spark.read.parquet(out_dir)
+    rows = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in out.collect()}
+    assert rows == {(1, t0, t0 + timedelta(minutes=2), 2)}
+
+    # batch 2 (new files, SAME checkpoint): user 1's open session is
+    # continued from restored state, then closed by a later event;
+    # user 2's single event closes too
+    write_batch("b2", [
+        (1, t0 + timedelta(minutes=35)),
+        (1, t0 + timedelta(minutes=55)),
+        (2, t0 + timedelta(minutes=40)),
+    ])
+    run_once()
+    rows = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (1, t0 + timedelta(minutes=30), t0 + timedelta(minutes=35), 2) in rows
+    assert (2, t0, t0, 1) in rows

@@ -105,7 +105,7 @@ def _ragged_gather(buf: bytes, lo: np.ndarray, hi: np.ndarray) -> bytes:
     return arr[base + local].tobytes()
 
 
-def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
+def _merge_kernel_factory(new_seg: Optional[int], seg_order: Dict[int, int],
                           shard_postings: int = DEFAULT_SHARD_POSTINGS,
                           deleted: Optional[np.ndarray] = None):
     """applyInPandas kernel over term_bucket groups of COLD (nowhere
@@ -142,6 +142,10 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
         if not len(pdf):
             return pd.DataFrame(out)
         cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        # multi-group pass (merge_many): the target segment id rides in
+        # on the grouping column instead of the factory closure
+        seg_target = (int(cols["__target"][0]) if new_seg is None
+                      else new_seg)
         t_codes, t_uniq = pd.factorize(cols["term"], sort=False)
         ord_arr = np.fromiter(
             (seg_order[s] for s in cols["seg"]), dtype=np.int64, count=len(pdf))
@@ -275,7 +279,7 @@ def _merge_kernel_factory(new_seg: int, seg_order: Dict[int, int],
                 out["field"].append(field0)
                 out["term"].append(term)
                 out["term_bucket"].append(int(term_buckets[t]))
-                out["seg"].append(new_seg)
+                out["seg"].append(seg_target)
                 out["shard"].append(si)
                 out["df"].append(int(e0 - s0))
                 out["cum_tf"].append(int(cum_tf_t[t]) if len(shard_ranges) == 1
@@ -309,19 +313,32 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
                    shard_postings: int = DEFAULT_SHARD_POSTINGS,
                    purge_deleted: bool = False) -> Manifest:
     """Merge ``seg_ids`` (doc_base-adjacent) into one new segment and
-    commit a new manifest generation.
+    commit a new manifest generation (thin wrapper over merge_many)."""
+    return merge_many(spark, index_dir, [list(seg_ids)], shard_postings,
+                      purge_deleted)
+
+
+def merge_many(spark: SparkSession, index_dir: str,
+               groups: Sequence[Sequence[int]],
+               shard_postings: int = DEFAULT_SHARD_POSTINGS,
+               purge_deleted: bool = False) -> Manifest:
+    """Execute a whole MERGE WAVE — several disjoint groups of
+    doc_base-adjacent segments — in ONE distributed pass: every source
+    row maps to its target segment id, the kernel runs grouped by
+    (target, term_bucket), and there is a single postings write, a
+    single docmeta write, and ONE manifest commit. At 1000 executors a
+    tier's worth of merges is one job instead of len(groups) sequential
+    job chains.
 
     ``shard_postings`` is rounded UP to a multiple of the 128-doc block
-    size (shard boundaries must fall on block boundaries in the flat
-    posting format).
+    size (shard boundaries must fall on block boundaries).
 
     ``purge_deleted``: physically drop tombstoned docs from postings +
-    docmeta (expungeDeletes). The manifest entry then records live
-    counts (``n_live``/``sum_dl_live``) which collection statistics
-    use, while ``n_docs``/``doc_base`` keep the ORIGINAL doc range —
-    the MatchAll doc-universe arithmetic still enumerates the range and
-    masks with the (retained) tombstones, so queries need no special
-    case for partially-purged indexes.
+    docmeta (expungeDeletes). Entries then record live counts
+    (``n_live``/``sum_dl_live``) which collection statistics use, while
+    ``n_docs``/``doc_base`` keep the ORIGINAL doc range — MatchAll
+    enumeration still walks the range and masks with the retained
+    tombstones, so queries need no special case.
     """
     from .build import BLOCK_SIZE
 
@@ -342,72 +359,68 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
     if m is None:
         raise FileNotFoundError(f"no manifest under {index_dir}")
     by_id = {s["seg"]: s for s in m.segments}
-    missing = set(seg_ids) - set(by_id)
+    groups = [list(g) for g in groups if g]
+    flat = [s for g in groups for s in g]
+    if len(set(flat)) != len(flat):
+        raise ValueError("merge groups must be disjoint")
+    missing = set(flat) - set(by_id)
     if missing:
         raise ValueError(f"segments not in manifest: {sorted(missing)}")
-    srcs = sorted((by_id[s] for s in seg_ids), key=lambda s: s["doc_base"])
-    # merged segments live in a DISJOINT id namespace: build ids are
-    # doc_id // docs_per_seg (< 1e9 up to ~4*10^12 docs at the default
-    # segment size), so build resume after a merge can never collide
-    new_seg = max(MERGE_SEG_BASE - 1, max(by_id)) + 1
-    seg_order = {s["seg"]: i for i, s in enumerate(srcs)}
+
+    # target ids: disjoint MERGE_SEG_BASE namespace, one per group
+    base = max(MERGE_SEG_BASE - 1, max(by_id)) + 1
+    targets = list(range(base, base + len(groups)))
+    seg_to_target = {s: t for g, t in zip(groups, targets) for s in g}
+    srcs_by_target = {
+        t: sorted((by_id[s] for s in g), key=lambda s: s["doc_base"])
+        for g, t in zip(groups, targets)
+    }
+    # global source order by doc_base: correct within every group
+    all_srcs = sorted((by_id[s] for s in flat), key=lambda s: s["doc_base"])
+    seg_order = {s["seg"]: i for i, s in enumerate(all_srcs)}
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    postings = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("seg").isin(list(seg_ids))
+    tmap = F.create_map(
+        *[F.lit(x) for pair in seg_to_target.items() for x in pair])
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("seg").isin(flat))
+        .withColumn("__target", tmap[F.col("seg")])
     )
     # Correctness invariant (ADVICE r1, medium): across ALL output rows
-    # of a term, doc ranges must be disjoint so the query-side
-    # shard-ordered concat stays sorted. Concat + re-shard therefore
-    # requires a group to see EVERY row of a term — grouping by
-    # (bucket, shard) could interleave one salt group's re-sharded tail
-    # with another's. Split instead by term hotness:
-    #
-    # - HOT terms (sharded anywhere in the input, i.e. any shard > 0
-    #   row): each source row is already a doc-contiguous, block-valid
-    #   posting row, and source doc ranges are disjoint by global
-    #   doc_id assignment — so hot rows PASS THROUGH untouched,
-    #   pure-JVM (no Python, no re-encode), and only the final window
-    #   renumbers their shard ids in doc order. This also defuses
-    #   hot-term skew better than the old salt: the biggest rows never
-    #   enter a shuffle group at all.
-    # - COLD terms (shard == 0 everywhere): group by term_bucket — the
-    #   group holds every row of each term, so the kernel's
-    #   seg-ordered concat is a globally sorted stream and re-sharding
-    #   it yields disjoint ordered ranges. TERM_BUCKETS (1024) spreads
-    #   the cold work across tasks.
-    kernel = _merge_kernel_factory(new_seg, seg_order, shard_postings,
+    # of a (target, term), doc ranges must be disjoint so the
+    # query-side shard-ordered concat stays sorted — a kernel group
+    # must see EVERY row of a term within its target. Hot terms (any
+    # shard > 0 row in the group) pass through as a pure-JVM
+    # projection; cold terms concat + re-shard in the kernel. When
+    # purging, hot rows also go through the kernel (their postings may
+    # contain tombstoned docs).
+    kernel = _merge_kernel_factory(None, seg_order, shard_postings,
                                    deleted=deleted_arr)
-    # short-circuit: first-level merges of build segments have no
-    # sharded rows at all (build never shards) — skip the hot/cold
-    # split's extra scan + joins and run the single cold kernel.
-    # When purging, hot rows must ALSO pass through the kernel (their
-    # postings may contain tombstoned docs), so the pass-through path
-    # is disabled.
     has_hot = (not purge_deleted
                and bool(postings.filter(F.col("shard") > 0).head(1)))
     if not has_hot:
-        merged = postings.groupBy("term_bucket").applyInPandas(
+        merged = postings.groupBy("__target", "term_bucket").applyInPandas(
             kernel, schema=MERGED_POSTINGS_SCHEMA)
     else:
         hot_terms = (
             postings.filter(F.col("shard") > 0)
-            .select("term_bucket", "term").distinct()
+            .select("__target", "term_bucket", "term").distinct()
         )
-        cold = postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
-                             "left_anti")
-        merged_cold = cold.groupBy("term_bucket").applyInPandas(
+        cold = postings.join(F.broadcast(hot_terms),
+                             ["__target", "term_bucket", "term"], "left_anti")
+        merged_cold = cold.groupBy("__target", "term_bucket").applyInPandas(
             kernel, schema=MERGED_POSTINGS_SCHEMA)
         passthrough = (
-            postings.join(F.broadcast(hot_terms), ["term_bucket", "term"],
-                          "left_semi")
-            .withColumn("seg", F.lit(int(new_seg)))
+            postings.join(F.broadcast(hot_terms),
+                          ["__target", "term_bucket", "term"], "left_semi")
+            .withColumn("seg", F.col("__target").cast("int"))
             .withColumn("first_doc_key", F.element_at("blk_first", 1))
             .select(*merged_cold.columns)
         )
         merged = merged_cold.unionByName(passthrough)
-    # shard renumbering per term in doc order (metadata-sized window)
-    w = Window.partitionBy("term").orderBy("first_doc_key")
+    # shard renumbering per (segment, term) in doc order (metadata-sized)
+    w = Window.partitionBy("seg", "term").orderBy("first_doc_key")
     merged = (
         merged.withColumn("shard", F.row_number().over(w) - F.lit(1))
         .drop("first_doc_key")
@@ -416,69 +429,79 @@ def merge_segments(spark: SparkSession, index_dir: str, seg_ids: Sequence[int],
         f"{index_dir}/postings"
     )
 
-    docmeta = spark.read.parquet(f"{index_dir}/docmeta").filter(
-        F.col("seg").isin(list(seg_ids))
+    docmeta = (
+        spark.read.parquet(f"{index_dir}/docmeta")
+        .filter(F.col("seg").isin(flat))
     )
     if purge_deleted:
         dels_df = spark.createDataFrame(
             [(int(x),) for x in deleted_arr], "doc_id long")
         docmeta = docmeta.join(F.broadcast(dels_df), "doc_id", "left_anti")
-    docmeta.withColumn("seg", F.lit(new_seg)).write.mode("overwrite").partitionBy(
-        "seg"
-    ).parquet(f"{index_dir}/docmeta")
+    docmeta.withColumn("seg", tmap[F.col("seg")].cast("int")) \
+        .write.mode("overwrite").partitionBy("seg").parquet(f"{index_dir}/docmeta")
 
-    stats_row = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .filter(F.col("seg") == new_seg)
-        .agg(F.count_distinct("term").alias("n"),
-             F.sum("df").alias("np")).collect()[0]
-    )
-    n_terms = stats_row["n"]
-    live_row = None
-    if purge_deleted:
-        live_row = (
-            spark.read.parquet(f"{index_dir}/docmeta")
-            .filter(F.col("seg") == new_seg)
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl"))
-            .collect()[0]
-        )
-    fp = 0
-    for s in srcs:
-        fp ^= int(s["input_fingerprint"], 16)
-    pdir = os.path.join(index_dir, "postings", f"seg={new_seg}")
-    postings_bytes = sum(
-        os.path.getsize(os.path.join(pdir, f))
-        for f in os.listdir(pdir) if f.endswith(".parquet")
-    ) if os.path.isdir(pdir) else 0
-    new_entry = {
-        "seg": int(new_seg),
-        "n_docs": sum(s["n_docs"] for s in srcs),
-        "doc_base": srcs[0]["doc_base"],
-        "doc_lo": min(s.get("doc_lo", s["doc_base"]) for s in srcs),
-        "doc_hi": max(s.get("doc_hi", s["doc_base"] + s["n_docs"]) for s in srcs),
-        "sum_dl": sum(s["sum_dl"] for s in srcs),
-        "n_terms": int(n_terms),
-        "n_postings": (int(stats_row["np"] or 0) if purge_deleted
-                       else sum(s["n_postings"] for s in srcs)),
-        "input_fingerprint": f"{fp:016x}",
-        "postings_bytes": int(postings_bytes),
-        "source": "merge(" + ",".join(str(s["seg"]) for s in srcs) + ")",
+    stats_rows = {
+        r["seg"]: r for r in spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("seg").isin(targets))
+        .groupBy("seg")
+        .agg(F.count_distinct("term").alias("n"), F.sum("df").alias("np"))
+        .collect()
     }
+    live_rows = {}
     if purge_deleted:
-        new_entry["purged"] = True
-        new_entry["n_live"] = int(live_row["n"] or 0)
-        new_entry["sum_dl_live"] = int(live_row["dl"] or 0)
-    elif any("n_live" in s for s in srcs):
-        # merging a purged segment with unpurged ones: live counts for
-        # the unpurged side stay delete-blind (their tombstones have
-        # not been purged), matching per-segment Lucene semantics
-        new_entry["n_live"] = sum(s.get("n_live", s["n_docs"]) for s in srcs)
-        new_entry["sum_dl_live"] = sum(
-            s.get("sum_dl_live", s["sum_dl"]) for s in srcs)
-    keep = [s for s in m.segments if s["seg"] not in set(seg_ids)]
+        live_rows = {
+            r["seg"]: r for r in spark.read.parquet(f"{index_dir}/docmeta")
+            .filter(F.col("seg").isin(targets))
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl"))
+            .collect()
+        }
+
+    new_entries = []
+    for t in targets:
+        srcs = srcs_by_target[t]
+        fp = 0
+        for s in srcs:
+            fp ^= int(s["input_fingerprint"], 16)
+        pdir = os.path.join(index_dir, "postings", f"seg={t}")
+        postings_bytes = sum(
+            os.path.getsize(os.path.join(pdir, f))
+            for f in os.listdir(pdir) if f.endswith(".parquet")
+        ) if os.path.isdir(pdir) else 0
+        st = stats_rows.get(t)
+        entry = {
+            "seg": int(t),
+            "n_docs": sum(s["n_docs"] for s in srcs),
+            "doc_base": srcs[0]["doc_base"],
+            "doc_lo": min(s.get("doc_lo", s["doc_base"]) for s in srcs),
+            "doc_hi": max(s.get("doc_hi", s["doc_base"] + s["n_docs"])
+                          for s in srcs),
+            "sum_dl": sum(s["sum_dl"] for s in srcs),
+            "n_terms": int(st["n"]) if st else 0,
+            "n_postings": (int(st["np"] or 0) if purge_deleted and st
+                           else sum(s["n_postings"] for s in srcs)),
+            "input_fingerprint": f"{fp:016x}",
+            "postings_bytes": int(postings_bytes),
+            "source": "merge(" + ",".join(str(s["seg"]) for s in srcs) + ")",
+        }
+        if purge_deleted:
+            lv = live_rows.get(t)
+            entry["purged"] = True
+            entry["n_live"] = int(lv["n"]) if lv else 0
+            entry["sum_dl_live"] = int(lv["dl"] or 0) if lv else 0
+        elif any("n_live" in s for s in srcs):
+            # merging a purged segment with unpurged ones: unpurged
+            # sides stay delete-blind, matching per-segment Lucene
+            entry["n_live"] = sum(s.get("n_live", s["n_docs"]) for s in srcs)
+            entry["sum_dl_live"] = sum(
+                s.get("sum_dl_live", s["sum_dl"]) for s in srcs)
+        new_entries.append(entry)
+
+    keep = [s for s in m.segments if s["seg"] not in set(flat)]
     out = Manifest(
         gen=m.gen + 1, docs_per_seg=m.docs_per_seg, analyzer=m.analyzer,
-        field=m.field, segments=sorted(keep + [new_entry], key=lambda s: s["seg"]),
+        field=m.field,
+        segments=sorted(keep + new_entries, key=lambda s: s["seg"]),
         delete_files=list(m.delete_files),
     )
     commit_manifest(index_dir, out)
@@ -491,11 +514,14 @@ def force_merge(spark: SparkSession, index_dir: str,
     budgeted segment count)."""
     m = read_manifest(index_dir)
     while True:
-        merges = plan_merges(m, segs_per_tier, max_merge_at_once)
+        # groups containing the -1 stub depend on an earlier merge of
+        # the same planning round; execute only the independent groups
+        # as ONE wave (merge_many single pass), then re-plan
+        merges = [g for g in plan_merges(m, segs_per_tier, max_merge_at_once)
+                  if -1 not in g]
         if not merges:
             return m
-        for group in merges:
-            m = merge_segments(spark, index_dir, group)
+        m = merge_many(spark, index_dir, merges)
 
 
 def expunge_deletes(spark: SparkSession, index_dir: str) -> Manifest:
@@ -513,14 +539,17 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> Manifest:
     dels = load_deleted_ids(index_dir, m)
     if dels.size == 0:
         return m
-    for s in list(m.segments):
+    groups = []
+    for s in m.segments:
         lo = s.get("doc_lo", s["doc_base"])
         hi = s.get("doc_hi", s["doc_base"] + s["n_docs"])
         i0, i1 = np.searchsorted(dels, [lo, hi])
         if i1 > i0 and not s.get("purged"):
-            m = merge_segments(spark, index_dir, [s["seg"]],
-                               purge_deleted=True)
-    return m
+            groups.append([s["seg"]])
+    if not groups:
+        return m
+    # every affected segment rewrites in ONE distributed pass
+    return merge_many(spark, index_dir, groups, purge_deleted=True)
 
 
 def vacuum(index_dir: str) -> List[int]:

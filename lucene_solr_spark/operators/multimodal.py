@@ -8,15 +8,17 @@ queries from ever reading the blobs (keep the binary column LAST and
 query metadata columns only; parquet column pruning skips the payload
 pages entirely).
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-the decode kernels are stubbed two ways:
+Decoder tiers:
 
-* ``decoder="fake"`` (default) — a deterministic header parser for the
-  synthetic ``FAKEIMG``/``FAKEAUD`` payloads produced by
-  ``synth_media()``; everything around it (schema, Arrow batch shape,
-  partitioning, UDF signatures) is real and tested.
-* ``decoder="pil"`` / ``"ffmpeg"`` — raise ``NotImplementedError`` with
-  the exact dependency needed, so the seam is obvious in production.
+* ``decoder="fake"`` (default) handles BOTH the deterministic
+  ``FAKEIMG``/``FAKEAUD`` plumbing payloads AND the real uncompressed
+  standards — 24-bit BMP images and PCM16 WAV audio are decoded with
+  struct+numpy alone (``decode_bmp_gray`` / ``decode_wav_pcm16``), so
+  the full decode -> feature-extract -> resize path runs end-to-end on
+  genuine file formats with no external dependency.
+* ``decoder="pil"`` / ``"ffmpeg"`` — compressed codecs (png/jpeg/video)
+  raise ``NotImplementedError`` naming the exact dependency, so the
+  production seam is obvious.
 
 All kernels are ``mapInPandas`` (iterator-of-batches: one Python
 worker handles many Arrow batches with zero per-row overhead, and
@@ -39,6 +41,8 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "synth_media",
+    "encode_bmp_gray", "decode_bmp_gray",
+    "encode_wav_pcm16", "decode_wav_pcm16",
     "extract_image_meta",
     "decode_and_resize",
     "sample_frames",
@@ -59,11 +63,104 @@ _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 5) -> DataFrame:
+# ------------------------------------------------- real (uncompressed) codecs
+#
+# BMP (24-bit) and WAV (PCM16 mono) are fully decodable with
+# struct+numpy — no external library — so the decode seam is REAL for
+# the uncompressed standards; only compressed codecs (png/jpeg/ffmpeg)
+# stay behind NotImplementedError.
+
+
+def encode_bmp_gray(px: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> standard 24-bit bottom-up BMP bytes."""
+    h, w = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = np.repeat(px[y], 3).tobytes()
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + dib + b"".join(rows)
+
+
+def decode_bmp_gray(buf: bytes):
+    """24-bit BMP -> (h, w) uint8 (blue channel); None if not BMP."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", buf, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    if bpp != 24:
+        return None
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    row_size = (w * 3 + 3) & ~3
+    data = np.frombuffer(buf, dtype=np.uint8, offset=off,
+                         count=row_size * h).reshape(h, row_size)
+    px = data[:, : w * 3].reshape(h, w, 3)[:, :, 0]
+    return px if top_down else px[::-1]
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples -> standard 44-byte-header WAV bytes."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav_pcm16(buf: bytes):
+    """WAV -> (int16 samples, rate); None if not PCM16 mono WAV."""
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        sz = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, ch, rate = struct.unpack_from("<HHI", buf, pos + 8)
+            if fmt != 1 or ch != 1:
+                return None
+        elif cid == b"data":
+            samples = np.frombuffer(buf, dtype="<i2", offset=pos + 8,
+                                    count=sz // 2)
+        pos += 8 + sz + (sz & 1)
+    if rate is None or samples is None:
+        return None
+    return samples, rate
+
+
+def _decode_image(buf: bytes):
+    """payload -> (h, w) uint8 array, via the fake header OR real BMP."""
+    if buf.startswith(_IMG_MAGIC):
+        w, h = struct.unpack_from("<II", buf, len(_IMG_MAGIC))
+        return np.frombuffer(buf, dtype=np.uint8,
+                             offset=len(_IMG_MAGIC) + 8).reshape(h, w)
+    return decode_bmp_gray(buf)
+
+
+def _decode_audio(buf: bytes):
+    """payload -> (int16 samples, rate), via the fake header OR real WAV."""
+    if buf.startswith(_AUD_MAGIC):
+        ns, rate = struct.unpack_from("<II", buf, len(_AUD_MAGIC))
+        return (np.frombuffer(buf, dtype=np.int16,
+                              offset=len(_AUD_MAGIC) + 8), rate)
+    return decode_wav_pcm16(buf)
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 5,
+                codec: str = "fake") -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA.
 
-    Image payload: magic + packed (w, h) + w*h bytes from a seeded LCG.
-    Audio payload: magic + packed (n_samples, rate) + int16 samples.
+    ``codec="fake"``: magic-header payloads (fastest plumbing tests).
+    ``codec="bmp_wav"``: REAL standard 24-bit BMP images and PCM16 WAV
+    audio — the decode kernels parse these with struct+numpy alone, so
+    the uncompressed-codec path is fully exercised end-to-end.
     """
     rng = np.random.RandomState(seed)
     rows = []
@@ -72,14 +169,24 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 5) -> DataFrame:
             w = int(rng.randint(4, 33))
             h = int(rng.randint(4, 33))
             px = rng.randint(0, 256, size=w * h, dtype=np.int32).astype(np.uint8)
-            payload = _IMG_MAGIC + struct.pack("<II", w, h) + px.tobytes()
-            rows.append((i, "image", "fake-img", w, h, 0, bytearray(payload)))
+            if codec == "bmp_wav":
+                payload = encode_bmp_gray(px.reshape(h, w))
+                fmt = "bmp"
+            else:
+                payload = _IMG_MAGIC + struct.pack("<II", w, h) + px.tobytes()
+                fmt = "fake-img"
+            rows.append((i, "image", fmt, w, h, 0, bytearray(payload)))
         else:
             ns = int(rng.randint(100, 1000))
             rate = 8000
             samples = rng.randint(-(1 << 12), 1 << 12, size=ns, dtype=np.int32).astype(np.int16)
-            payload = _AUD_MAGIC + struct.pack("<II", ns, rate) + samples.tobytes()
-            rows.append((i, "audio", "fake-aud", 0, 0, int(ns * 1000 / rate), bytearray(payload)))
+            if codec == "bmp_wav":
+                payload = encode_wav_pcm16(samples, rate)
+                fmt = "wav"
+            else:
+                payload = _AUD_MAGIC + struct.pack("<II", ns, rate) + samples.tobytes()
+                fmt = "fake-aud"
+            rows.append((i, "audio", fmt, 0, 0, int(ns * 1000 / rate), bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -110,11 +217,10 @@ def extract_image_meta(df: DataFrame, decoder: str = "fake") -> DataFrame:
         for pdf in it:
             ids, ws, hs, means = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                buf = bytes(payload)
-                if not buf.startswith(_IMG_MAGIC):
+                px = _decode_image(bytes(payload))
+                if px is None:
                     continue
-                w, h = struct.unpack_from("<II", buf, len(_IMG_MAGIC))
-                px = np.frombuffer(buf, dtype=np.uint8, offset=len(_IMG_MAGIC) + 8)
+                h, w = px.shape
                 ids.append(mid)
                 ws.append(w)
                 hs.append(h)
@@ -140,11 +246,10 @@ def decode_and_resize(df: DataFrame, out_w: int = 8, out_h: int = 8,
         for pdf in it:
             ids, thumbs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                buf = bytes(payload)
-                if not buf.startswith(_IMG_MAGIC):
+                px = _decode_image(bytes(payload))
+                if px is None:
                     continue
-                w, h = struct.unpack_from("<II", buf, len(_IMG_MAGIC))
-                px = np.frombuffer(buf, dtype=np.uint8, offset=len(_IMG_MAGIC) + 8).reshape(h, w)
+                h, w = px.shape
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 thumb = px[np.ix_(yi, xi)]
@@ -175,11 +280,11 @@ def sample_frames(df: DataFrame, every_ms: int = 100,
         for pdf in it:
             ids, ts, rms = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                buf = bytes(payload)
-                if not buf.startswith(_AUD_MAGIC):
+                dec = _decode_audio(bytes(payload))
+                if dec is None:
                     continue
-                ns, rate = struct.unpack_from("<II", buf, len(_AUD_MAGIC))
-                samples = np.frombuffer(buf, dtype=np.int16, offset=len(_AUD_MAGIC) + 8).astype(np.float64)
+                samples, rate = dec
+                samples = samples.astype(np.float64)
                 win = max(1, rate * every_ms // 1000)
                 for f, start in enumerate(range(0, len(samples), win)):
                     chunk = samples[start:start + win]
@@ -203,13 +308,13 @@ def audio_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
         for pdf in it:
             out: dict[str, List] = {"media_id": [], "dur_ms": [], "peak": [], "rms": [], "zcr": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                buf = bytes(payload)
-                if not buf.startswith(_AUD_MAGIC):
+                dec = _decode_audio(bytes(payload))
+                if dec is None:
                     continue
-                ns, rate = struct.unpack_from("<II", buf, len(_AUD_MAGIC))
-                s = np.frombuffer(buf, dtype=np.int16, offset=len(_AUD_MAGIC) + 8).astype(np.float64)
+                s, rate = dec
+                s = s.astype(np.float64)
                 out["media_id"].append(mid)
-                out["dur_ms"].append(int(ns * 1000 / rate))
+                out["dur_ms"].append(int(len(s) * 1000 / rate))
                 out["peak"].append(int(np.abs(s).max()) if s.size else 0)
                 out["rms"].append(round(float(np.sqrt((s ** 2).mean())), 4) if s.size else 0.0)
                 out["zcr"].append(round(float((np.diff(np.signbit(s)) != 0).mean()), 6) if s.size > 1 else 0.0)

@@ -82,3 +82,43 @@ def test_metadata_query_prunes_payload(media, tmp_path):
         .select("media_id", "meta_width", "meta_height")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def test_bmp_wav_roundtrip_exact():
+    """Real-codec round trips are pixel/sample exact (incl. BMP row
+    padding for odd widths and bottom-up row order)."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.multimodal import (
+        decode_bmp_gray,
+        decode_wav_pcm16,
+        encode_bmp_gray,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    for (h, w) in ((5, 7), (4, 4), (31, 3)):
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert (decode_bmp_gray(encode_bmp_gray(px)) == px).all(), (h, w)
+    s = rng.integers(-30000, 30000, 777).astype(np.int16)
+    out = decode_wav_pcm16(encode_wav_pcm16(s, 8000))
+    assert out is not None and out[1] == 8000 and (out[0] == s).all()
+
+
+def test_real_codec_equals_fake_path(spark):
+    """The SAME kernels produce identical features from real BMP/WAV
+    payloads as from the fake plumbing payloads (same seeded content)."""
+    from lucene_solr_spark.operators import multimodal as mm
+
+    fake = mm.synth_media(spark, 30, codec="fake")
+    real = mm.synth_media(spark, 30, codec="bmp_wav")
+    a = sorted(map(tuple, mm.extract_image_meta(fake).collect()))
+    b = sorted(map(tuple, mm.extract_image_meta(real).collect()))
+    assert a == b
+    fa = sorted(map(tuple, mm.audio_features(fake).collect()))
+    fb = sorted(map(tuple, mm.audio_features(real).collect()))
+    assert fa == fb
+    ta = sorted(map(tuple, mm.decode_and_resize(fake).collect()))
+    tb = sorted(map(tuple, mm.decode_and_resize(real).collect()))
+    assert [r[:3] for r in ta] == [r[:3] for r in tb]
+    assert all(bytes(x[3]) == bytes(y[3]) for x, y in zip(ta, tb))

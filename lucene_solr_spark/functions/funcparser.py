@@ -1,0 +1,218 @@
+"""Function-query STRING parser — SURVEY.md §2.10 / VERDICT r2 missing #3.
+
+Solr users write function queries as text (``recip(ms(NOW,date),
+3.16e-11,1,1)``, ``scale(popularity,0,1)``); the reference's registry is
+`[U] solr/core/.../search/ValueSourceParser.java`. This is a small
+recursive-descent parser mapping that syntax onto the Column combinators
+in ``functions/valuesource.py`` — the output is a plain Spark Column, so
+Catalyst constant-folds literals and codegens the whole expression.
+
+Grammar (the implemented subset — every function the library exposes):
+
+    expr    := func | number | string | field
+    func    := NAME '(' [expr (',' expr)*] ')'
+    number  := float literal incl. scientific (3.16e-11)
+    string  := '...' | "..."   (strdist metric names, literals)
+    field   := bare identifier -> F.col(name)
+
+``NOW`` resolves to the ``now`` argument (a datetime) so plans are
+deterministic/reproducible — never wall-clock at parse time.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import List, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import valuesource as vs
+
+__all__ = ["parse_function_query", "FunctionQueryError"]
+
+
+class FunctionQueryError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?![\w.]))"
+    r"|(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
+    r"|(?P<str>'[^']*'|\"[^\"]*\")"
+    r"|(?P<punc>[(),]))"
+)
+
+
+def _tokenize(text: str) -> List[tuple]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise FunctionQueryError(f"bad token at {text[pos:]!r}")
+        if m.group("num") is not None:
+            out.append(("num", float(m.group("num"))))
+        elif m.group("name") is not None:
+            out.append(("name", m.group("name")))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1]))
+        else:
+            out.append(("punc", m.group("punc")))
+        pos = m.end()
+    out.append(("eof", None))
+    return out
+
+
+#: parsed node: a python float (literal), str (string literal), or Column
+Node = Union[float, str, Column]
+
+
+def _as_col(x: Node) -> Column:
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
+def _as_float(x: Node, fn: str) -> float:
+    if isinstance(x, float):
+        return x
+    raise FunctionQueryError(f"{fn}() requires a numeric literal argument")
+
+
+class _Parser:
+    def __init__(self, text: str, df: Optional[DataFrame], now: Optional[datetime]):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.df = df
+        self.now = now
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str):
+        kind, v = self.next()
+        if kind != "punc" or v != val:
+            raise FunctionQueryError(f"expected {val!r}, got {v!r}")
+
+    def parse(self) -> Node:
+        node = self.expr()
+        if self.peek()[0] != "eof":
+            raise FunctionQueryError(f"trailing input at {self.toks[self.i:]}")
+        return node
+
+    def expr(self) -> Node:
+        kind, v = self.next()
+        if kind == "num":
+            return v
+        if kind == "str":
+            return v
+        if kind == "name":
+            if self.peek() == ("punc", "("):
+                self.next()
+                args: List[Node] = []
+                if self.peek() != ("punc", ")"):
+                    args.append(self.expr())
+                    while self.peek() == ("punc", ","):
+                        self.next()
+                        args.append(self.expr())
+                self.expect(")")
+                return self.apply(v, args)
+            if v == "NOW":
+                if self.now is None:
+                    raise FunctionQueryError("NOW used without now= anchor")
+                return F.lit(self.now.isoformat(sep=" ")).cast("timestamp_ntz")
+            return F.col(v)
+        raise FunctionQueryError(f"unexpected token {v!r}")
+
+    # ---- registry (ValueSourceParser.java's addParser table)
+    def apply(self, name: str, a: List[Node]) -> Node:
+        n = name.lower()
+        cols = [_as_col(x) for x in a]
+        if n in ("sum", "add"):
+            out = cols[0]
+            for c in cols[1:]:
+                out = out + c
+            return out
+        if n == "sub":
+            return cols[0] - cols[1]
+        if n in ("product", "mul"):
+            out = cols[0]
+            for c in cols[1:]:
+                out = out * c
+            return out
+        if n == "div":
+            return cols[0] / cols[1]
+        if n == "abs":
+            return F.abs(cols[0])
+        if n == "pow":
+            return F.pow(cols[0], cols[1])
+        if n == "sqrt":
+            return F.sqrt(cols[0])
+        if n == "log":                       # Solr log() is base-10
+            return F.log10(cols[0])
+        if n == "ln":
+            return F.log(cols[0])
+        if n == "exp":
+            return F.exp(cols[0])
+        if n in ("min",):
+            return F.least(*cols)
+        if n in ("max",):
+            return F.greatest(*cols)
+        if n == "floor":
+            return F.floor(cols[0])
+        if n == "ceil":
+            return F.ceil(cols[0])
+        if n == "map":
+            default = cols[4] if len(a) > 4 else None
+            return vs.map_fn(cols[0], _as_float(a[1], n), _as_float(a[2], n),
+                             _as_float(a[3], n), default)
+        if n == "scale":
+            if self.df is None:
+                raise FunctionQueryError("scale() needs df= (global min/max)")
+            return vs.scale_fn(self.df, cols[0], _as_float(a[1], n),
+                               _as_float(a[2], n))
+        if n == "recip":
+            return vs.recip(cols[0], _as_float(a[1], n), _as_float(a[2], n),
+                            _as_float(a[3], n))
+        if n == "linear":
+            return vs.linear(cols[0], _as_float(a[1], n), _as_float(a[2], n))
+        if n == "ms":
+            if len(a) == 1:
+                return vs.ms(cols[0], F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+            return vs.ms(cols[0], cols[1])
+        if n == "strdist":
+            metric = a[2] if len(a) > 2 else "edit"
+            if metric not in ("edit", "levenshtein"):
+                raise FunctionQueryError(f"strdist metric {metric!r} not supported")
+            return vs.strdist_levenshtein(cols[0], cols[1])
+        if n == "ord":
+            return vs.ord_fn(cols[0])
+        if n == "rord":
+            return vs.rord_fn(cols[0])
+        if n == "if":
+            return F.when(cols[0].cast("boolean"), cols[1]).otherwise(cols[2])
+        if n == "exists":
+            return cols[0].isNotNull()
+        if n == "def":
+            return F.coalesce(cols[0], cols[1])
+        if n in ("geodist", "hsin"):
+            return vs.haversine_km(cols[0], cols[1], cols[2], cols[3])
+        raise FunctionQueryError(f"unknown function {name!r}")
+
+
+def parse_function_query(text: str, df: Optional[DataFrame] = None,
+                         now: Optional[datetime] = None) -> Column:
+    """Solr function-query text -> Spark Column.
+
+    ``df`` is required for corpus-global sources (scale); ``now``
+    anchors NOW (deterministic, as a TIMESTAMP_NTZ literal).
+    """
+    return _as_col(_Parser(text, df, now).parse())

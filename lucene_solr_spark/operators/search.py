@@ -946,6 +946,36 @@ class IndexReader:
         )
         return [(r["term"], int(r["df"])) for r in rows]
 
+    # -- spellcheck (`[U] lucene/suggest/src/java/org/apache/lucene/
+    # search/spell/DirectSpellChecker.java`): did-you-mean candidates
+    # straight from the term dictionary, no separate spell index.
+    def suggest_similar(self, term: str, max_edits: int = 2, n: int = 5,
+                        min_df: int = 1) -> DataFrame:
+        """-> DataFrame(term, df, dist): dictionary terms within
+        ``max_edits`` Levenshtein distance of ``term`` (itself excluded),
+        ranked (distance asc, docFreq desc, term asc) — the
+        DirectSpellChecker ordering with docFreq as the tiebreak.
+
+        Distributed shape: the term-dictionary scan prunes by the
+        length band |len(t) - len(term)| <= max_edits BEFORE the JVM
+        levenshtein evaluates; only (term, df) pairs are aggregated —
+        postings blobs never leave the scan (column pruning). docFreq =
+        sum of per-segment dfs, delete-blind like Lucene's.
+        """
+        t = term.lower()
+        lo, hi = len(t) - max_edits, len(t) + max_edits
+        return (
+            self.postings
+            .filter((F.length("term") >= lo) & (F.length("term") <= hi))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)).cast("long"))
+            .filter((F.col("dist") > 0) & (F.col("dist") <= max_edits)
+                    & (F.col("df") >= min_df))
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+            .select("term", "df", "dist")
+        )
+
 
 def _contains_matchall(q: Query) -> bool:
     if isinstance(q, MatchAllQuery):

@@ -200,6 +200,21 @@ def stats_component(df: DataFrame, fld: str) -> DataFrame:
     )
 
 
+def facet_field_stats(df: DataFrame, fld: str, *aggs: Column,
+                      limit: int = 100, min_count: int = 1) -> DataFrame:
+    """JSON Facet API nested aggregates (`[U] solr/core/.../search/facet/
+    FacetField.java` sub-facets): a terms facet whose every bucket also
+    carries stat sub-facets (``facet: {avg_x: "avg(x)"}``). One
+    partial+final hash aggregate — the bucket count and all stats ride
+    the same shuffle."""
+    out = df.groupBy(fld).agg(F.count(F.lit(1)).alias("cnt"), *aggs)
+    return (
+        out.filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), F.asc(fld))
+        .limit(limit)
+    )
+
+
 def timeseries_stream(df: DataFrame, ts: str, gap: str, *aggs: Column) -> DataFrame:
     """`[U] .../io/stream/TimeSeriesStream.java` — date-range bucketed
     aggregates; Spark window() handles the bucketing natively."""

@@ -1,0 +1,132 @@
+"""Function-query string parser + DirectSpellChecker-analog tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.funcparser import (
+    FunctionQueryError, parse_function_query)
+from lucene_solr_spark.operators.build import build_index
+from lucene_solr_spark.operators.search import IndexReader
+from lucene_solr_spark.sources import load_source_table
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "abc"), (2, 20.0, "abd"), (3, None, "xyz")],
+        "id long, x double, s string")
+
+
+def _vals(df, col):
+    return [r["v"] for r in df.select(col.alias("v")).orderBy("id").collect()]
+
+
+def test_arithmetic_and_nesting(nums):
+    c = parse_function_query("sum(product(x,2),div(x,4),1)")
+    assert _vals(nums, c)[:2] == [10.0 * 2 + 10.0 / 4 + 1, 20.0 * 2 + 20.0 / 4 + 1]
+    c = parse_function_query("recip(abs(sub(x,15)),0.1,1,1)")
+    assert _vals(nums, c)[0] == pytest.approx(1.0 / (0.1 * 5 + 1))
+    c = parse_function_query("pow(sqrt(x),2)")
+    assert _vals(nums, c)[0] == pytest.approx(10.0)
+    c = parse_function_query("log(100)")
+    assert _vals(nums, c)[0] == pytest.approx(2.0)
+
+
+def test_scientific_literals(nums):
+    c = parse_function_query("linear(x,3.16e-11,1)")
+    assert _vals(nums, c)[0] == pytest.approx(3.16e-11 * 10 + 1)
+
+
+def test_map_min_max_if_def(nums):
+    c = parse_function_query("map(x,0,15,1,0)")
+    assert _vals(nums, c)[:2] == [1.0, 0.0]
+    c = parse_function_query("max(x,15)")
+    assert _vals(nums, c)[:2] == [15.0, 20.0]
+    c = parse_function_query("def(x,99)")
+    assert _vals(nums, c)[2] == 99.0
+    c = parse_function_query("if(exists(x),1,0)")
+    assert _vals(nums, c) == [1, 1, 0]
+
+
+def test_scale_needs_df(nums):
+    with pytest.raises(FunctionQueryError):
+        parse_function_query("scale(x,0,1)")
+    c = parse_function_query("scale(x,0,1)", df=nums)
+    got = sorted(v for v in _vals(nums, c) if v is not None)
+    assert got == [0.0, 1.0]
+
+
+def test_strdist(nums):
+    c = parse_function_query("strdist(s,'abc','edit')")
+    v = _vals(nums, c)
+    assert v[0] == pytest.approx(1.0)
+    assert v[1] == pytest.approx(1 - 1 / 3)
+
+
+def test_geodist():
+    c = parse_function_query("geodist(0,0,0,90)")
+    # quarter of the mean-earth circumference
+    import pyspark.sql as ps
+
+    spark = ps.SparkSession.getActiveSession()
+    v = spark.range(1).select(c.alias("v")).collect()[0]["v"]
+    assert v == pytest.approx(2 * math.pi * 6371.0087714 / 4, rel=1e-9)
+
+
+def test_parse_errors():
+    for bad in ["recip(x,0.1,1", "unknownfn(x)", "recip(x,y,1,1)", "x y"]:
+        with pytest.raises(FunctionQueryError):
+            parse_function_query(bad)
+
+
+def test_now_anchor():
+    from datetime import datetime
+
+    with pytest.raises(FunctionQueryError):
+        parse_function_query("ms(NOW,NOW)")
+    c = parse_function_query("ms(NOW,NOW)", now=datetime(2024, 1, 1))
+    import pyspark.sql as ps
+
+    spark = ps.SparkSession.getActiveSession()
+    assert spark.range(1).select(c.alias("v")).collect()[0]["v"] == 0
+
+
+# ------------------------------------------------------------- spellcheck
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("spell") / "idx")
+    build_index(spark, load_source_table(spark, sf_dir), d, docs_per_seg=128)
+    return IndexReader(spark, d)
+
+
+def test_suggest_similar_ranks_by_dist_then_df(spark, idx, sf_dir):
+    got = idx.suggest_similar("spart", max_edits=2, n=5).collect()
+    assert got, "expected at least one suggestion"
+    # exact oracle from the raw corpus
+    from collections import Counter
+
+    from lucene_solr_spark.analysis import tokenize
+    from lucene_solr_spark.plans.query import levenshtein
+    from lucene_solr_spark.sources import load_documents
+
+    df_counts: Counter = Counter()
+    for r in load_documents(spark, sf_dir).select("text").collect():
+        for t in set(tokenize(r["text"], "standard")):
+            df_counts[t] += 1
+    want = sorted(
+        ((t, c, levenshtein(t, "spart")) for t, c in df_counts.items()
+         if 0 < levenshtein(t, "spart") <= 2),
+        key=lambda x: (x[2], -x[1], x[0]),
+    )[:5]
+    assert [(r["term"], r["df"], r["dist"]) for r in got] == want
+
+
+def test_suggest_similar_excludes_exact_term(idx):
+    rows = idx.suggest_similar("spark", max_edits=2, n=10).collect()
+    assert all(r["term"] != "spark" for r in rows)
+    assert all(1 <= r["dist"] <= 2 for r in rows)

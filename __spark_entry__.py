@@ -708,9 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "embeddings").filter(F.col("vec_id") < 5),
         k=3,
     ).select("probe_id", "rnk", "target_id", F.round("cosine", 4).alias("cosine_r"))
-    q["ann_ivf_topk"] = lambda s, sf: sim.ivf_topk(
-        _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10,
-        n_clusters=8, n_probe=5,
+    q["ann_ivf_topk"] = lambda s, sf: sim.ivf_search(
+        s, _ivf_index_for(s, sf), sim.fixed_query_vector(64), k=10, n_probe=5,
     ).select("vec_id", F.round("cosine", 4).alias("cosine_r"))
     q["ann_lsh_topk"] = lambda s, sf: sim.lsh_bucket_topk(
         _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10
@@ -1006,6 +1005,17 @@ def _ingest_csv_roundtrip(s: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_index_for(s: SparkSession, sf: str) -> str:
+    """Materialized IVF index (one inverted list per cluster partition),
+    built ONCE per sf under the work dir — the offline index-build /
+    online partition-pruned query split (VERDICT r2 #3)."""
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"ivf_v{INDEX_FORMAT_VERSION}_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        sim.ivf_build(_t(s, sf, "embeddings"), d, n_clusters=8, iters=3)
+    return d
+
+
 def _planted_embeddings(s: SparkSession, sf: str) -> DataFrame:
     """embeddings ∪ exact copies of vec_id<10 shifted to id+10000 —
     deterministic planted duplicates for the LSH near-dup oracle."""
@@ -1145,6 +1155,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(term, 'spart') BETWEEN 1 AND 2
             ORDER BY dist, df DESC, term LIMIT 5
         """,
+        # suggest(): docFreq-ranked prefix completion over the term
+        # dictionary — same index-invariant shape as spellcheck_suggest
+        "suggest_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            td AS (SELECT t AS term, COUNT(DISTINCT doc_id) AS df
+                   FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1)
+            SELECT term, df FROM td WHERE term LIKE 's%'
+            ORDER BY df DESC, term LIMIT 10
+        """,
+        # MoreLikeThis: the engine picks the text's top tf*idf terms
+        # (all tf=1 here; min_doc_freq=2 keeps every corpus term at this
+        # corpus size, 'partition' is out-of-vocabulary) and runs the
+        # sorted disjunction — the float32 oracle applies verbatim
+        "mlt_similar": _bm25_sql_disjunction(
+            [(t, 1.0) for t in sorted(["spark", "merge", "vector", "batch",
+                                       "window"])]),
         "funcparser_recip": """
             SELECT o_orderkey,
                    ROUND(1.0/(0.00001*ABS(o_totalprice-250000.0)+1.0), 9) AS decay_boost,

@@ -547,10 +547,21 @@ class IndexReader:
         self.cache = norm_cache(self.avgdl)
         # liveDocs: sorted tombstoned ids from the manifest's delete
         # files (operators/delete.py); stats stay delete-blind like
-        # Lucene until a merge purges
-        from .delete import load_deleted_ids
+        # Lucene until a merge purges. Above DELETED_DRIVER_CAP rows the
+        # ids are NOT materialized on the driver — every masking surface
+        # switches to a distributed anti-join against the delete parquet
+        # (queries then score exhaustively and mask before the global
+        # top-k: correct, at the price of WAND pruning — the honest cost
+        # of a tombstone set too large to ship in task closures).
+        from .delete import (DELETED_DRIVER_CAP, count_deleted_rows,
+                             load_deleted_ids)
 
-        self.deleted = load_deleted_ids(index_dir, m)
+        n_del = count_deleted_rows(index_dir, m) if m.delete_files else 0
+        self.deletes_over_cap = n_del > DELETED_DRIVER_CAP
+        if self.deletes_over_cap:
+            self.deleted = np.empty(0, dtype=np.int64)
+        else:
+            self.deleted = load_deleted_ids(index_dir, m)
         self._seg_files_cache: Optional[Dict[int, List[int]]] = None
         self._df_map: Optional[Dict[str, int]] = None
         if cache_stats:
@@ -696,6 +707,16 @@ class IndexReader:
         q = parse_query(query, analyzer=analyzer or self.manifest.analyzer) \
             if isinstance(query, str) else query
         q = rewrite(self._expand(q))
+        if self.deletes_over_cap:
+            # huge tombstone set: score every match (delete-blind
+            # kernel), anti-join the distributed delete set, THEN take
+            # the global top-k — masking after a per-segment top-k
+            # would let deleted docs crowd out live ones
+            live = self._per_segment(q, k=1 << 62, prune="exhaustive") \
+                .select("doc_id", "score") \
+                .join(self._deleted_df(), "doc_id", "left_anti")
+            return (live.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k).select("doc_id", "score"))
         per_seg = self._per_segment(q, k, prune)
         return (
             per_seg.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -712,13 +733,27 @@ class IndexReader:
             if isinstance(query, str) else query
         q = rewrite(self._expand(q))
         per_seg = self._per_segment(q, k=1 << 62, prune="exhaustive")
-        return per_seg.select("doc_id", "score")
+        out = per_seg.select("doc_id", "score")
+        if self.deletes_over_cap:
+            out = out.join(self._deleted_df(), "doc_id", "left_anti")
+        return out
 
     def search_with_total(self, query: str | Query, k: int = 10,
                           prune: str = "maxscore") -> Tuple[List[Tuple[int, float]], int]:
         """TopDocs equivalent: ([(doc_id, score)], exact total_hits)."""
         q = parse_query(query, analyzer=self.manifest.analyzer) if isinstance(query, str) else query
         q = rewrite(self._expand(q))
+        if self.deletes_over_cap:
+            live = (self._per_segment(q, k=1 << 62, prune="exhaustive")
+                    .select("doc_id", "score")
+                    .join(self._deleted_df(), "doc_id", "left_anti").cache())
+            try:
+                top = (live.orderBy(F.desc("score"), F.asc("doc_id"))
+                       .limit(k).collect())
+                total = live.count()
+                return [(int(r["doc_id"]), float(r["score"])) for r in top], total
+            finally:
+                live.unpersist()
         per_seg = self._per_segment(q, k, prune).cache()
         try:
             top = (
@@ -889,11 +924,19 @@ class IndexReader:
                     })
 
         out = rows.mapInPandas(gen, "doc_id long, tf long")
-        if self.deleted.size:
-            dels = self.spark.createDataFrame(
-                [(int(x),) for x in self.deleted], "doc_id long")
-            out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        if self.deletes_over_cap:
+            out = out.join(self._deleted_df(), "doc_id", "left_anti")
+        elif self.deleted.size:
+            out = out.join(F.broadcast(self._deleted_df()), "doc_id", "left_anti")
         return out
+
+    def _deleted_df(self) -> DataFrame:
+        """Tombstones as a distributed DataFrame (the anti-join form of
+        the liveDocs mask) — reads the delete parquet directly, never
+        materializes ids on the driver."""
+        from .delete import deleted_ids_df
+
+        return deleted_ids_df(self.spark, self.index_dir, self.manifest)
 
     def docfreq(self, term: str) -> int:
         return self.global_dfs([term]).get(term, 0)

@@ -289,9 +289,9 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
     on the fixture corpora.
     """
     src = _spread(df.select(F.col(id_col), F.col(text_col)))
-    # cache the two reused intermediates: the band signatures feed BOTH
-    # sides of the self-join and the shingle set feeds sizes + both
-    # verify sides — without caching each subplan re-executes per use
+    # cache the reused intermediates: the band signatures feed BOTH
+    # sides of the self-join; the CANDIDATE-ONLY shingle set feeds
+    # sizes + both verify sides
     sig = minhash_signatures(src, text_col, id_col, n, n_perm, n_bands,
                              seed).cache()
     l = sig.select(F.col("id").alias("a"), "band", "band_key")
@@ -301,8 +301,18 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.8,
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .cache()
     )
-    sh = shingle_set(src, text_col, id_col, n).cache()
+    # exact verify touches ONLY candidate docs: semi-join the corpus to
+    # the candidate id set BEFORE shingling (VERDICT r2 next #5 — the
+    # full-corpus shingle explode was 2/3 of the operator's cost; sizes
+    # are only ever read for candidate pairs, so shingling non-candidate
+    # docs was pure waste). At LSH-useful thresholds the candidate set
+    # is a small fraction of the corpus; AQE broadcasts the id side.
+    ids = (cand.select(F.col("a").alias(id_col))
+           .unionByName(cand.select(F.col("b").alias(id_col)))
+           .distinct())
+    sh = shingle_set(src.join(ids, id_col), text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     asz = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     bsz = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
@@ -490,50 +500,146 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def _fp_powers(k: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        base = np.uint64(257)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[k - 1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * base
+    return powers
+
+
+def _fingerprint_scalar(text: str, k: int = 8, window: int = 4):
+    """Reference winnowing fingerprint for ONE doc — the semantics the
+    vectorized batch kernel must reproduce exactly (pinned by
+    tests/test_textproc.py::test_fingerprint_vectorized_matches_scalar).
+    -> (sorted fingerprint list, 64-bit digest)."""
+    s = "".join(c for c in text.lower() if c.isalnum())
+    if len(s) < k:
+        return [], 0
+    data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    data = data[: len(s)] if data.size >= len(s) else data
+    n = data.size - k + 1
+    with np.errstate(over="ignore"):
+        win = np.lib.stride_tricks.sliding_window_view(data.astype(np.uint64), k)
+        h = (win * _fp_powers(k)[None, :]).sum(axis=1, dtype=np.uint64)
+    if n <= window:
+        # minima taken in UNSIGNED uint64 order, represented signed
+        sel = {int(np.int64(h.min()))}
+    else:
+        view = np.lib.stride_tricks.sliding_window_view(h, window)
+        sel = set(view.min(axis=1).astype(np.int64).tolist())
+    fp = sorted(sel)
+    dig = 1469598103934665603
+    for v in fp:
+        dig = ((dig ^ (v & 0xFFFFFFFFFFFFFFFF)) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return fp, (dig - (1 << 64) if dig >= (1 << 63) else dig)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 8, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): rolling
     k-gram Rabin hashes, per-window minimum selection -> sorted distinct
-    fingerprint set, plus a single combined 64-bit digest per doc."""
+    fingerprint set, plus a single combined 64-bit digest per doc.
+
+    WHOLE-BATCH vectorized (VERDICT r2 wrong #4 — this was the last
+    per-row Python kernel): normalization via one pandas .str regex
+    sweep, one flat byte buffer for the whole batch with doc-boundary
+    masking (the _fnv64_batch / minhash shingle pattern), sliding-window
+    Rabin hashes and winnowing minima as numpy array ops, digests via a
+    position-sweep FNV across every doc at once."""
+    powers = _fp_powers(k)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, fps, digs = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                s = "".join(c for c in text.lower() if c.isalnum())
-                if len(s) < k:
-                    ids.append(doc_id)
-                    fps.append([])
-                    digs.append(0)
-                    continue
-                data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-                data = data[: len(s)] if data.size >= len(s) else data
-                n = data.size - k + 1
-                # rolling Rabin hash: start from the windowed cumulative
-                # polynomial, fully vectorized (wrapping mod 2^64)
-                with np.errstate(over="ignore"):
-                    base = np.uint64(257)
-                    powers = np.empty(k, dtype=np.uint64)
-                    powers[k - 1] = np.uint64(1)
-                    for j in range(k - 2, -1, -1):
-                        powers[j] = powers[j + 1] * base
-                    win = np.lib.stride_tricks.sliding_window_view(
-                        data.astype(np.uint64), k
-                    )
-                    h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
-                if n <= window:
-                    sel = {int(h.min())}
-                else:
-                    view = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = set(view.min(axis=1).astype(np.int64).tolist())
-                fp = sorted(int(np.int64(np.uint64(x))) for x in sel)
-                dig = 1469598103934665603
-                for v in fp:
-                    dig = ((dig ^ (v & 0xFFFFFFFFFFFFFFFF)) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-                ids.append(doc_id)
-                fps.append(fp[:64])
-                digs.append(dig - (1 << 64) if dig >= (1 << 63) else dig)
-            yield pd.DataFrame({"id": ids, "fingerprints": fps, "digest": digs})
+            n_docs = len(pdf)
+            out_fps: list = [[] for _ in range(n_docs)]
+            out_dig = np.zeros(n_docs, dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            if n_docs == 0:
+                yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                                    "digest": out_dig})
+                continue
+            # [\W_] removal == keep str.isalnum() chars (re \w is
+            # defined as isalnum + underscore), one C-level sweep
+            norm = (pdf[text_col].astype(str).str.lower()
+                    .str.replace(r"[\W_]+", "", regex=True))
+            enc = norm.str.encode("utf-8")
+            blens = enc.str.len().to_numpy().astype(np.int64)
+            nchar = norm.str.len().to_numpy().astype(np.int64)
+            if (blens == nchar).all():
+                buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
+                lens = blens
+            else:
+                # rare multibyte rows: reproduce the scalar byte
+                # truncation data[:len(s)] (O(docs) slicing, not per char)
+                parts = [b[:t] for b, t in zip(enc.tolist(), nchar)]
+                buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+                lens = np.minimum(blens, nchar)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            total = int(lens.sum())
+            m = total - k + 1
+            if m <= 0:
+                yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                                    "digest": out_dig})
+                continue
+            with np.errstate(over="ignore"):
+                win = np.lib.stride_tricks.sliding_window_view(
+                    buf.astype(np.uint64), k)
+                h_all = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            valid = doc_idx[:m] == doc_idx[k - 1:]
+            if not valid.any():
+                yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                                    "digest": out_dig})
+                continue
+            h = h_all[valid]  # uint64: minima taken in UNSIGNED order
+            kdoc = doc_idx[:m][valid]
+            starts = np.flatnonzero(np.r_[True, np.diff(kdoc) != 0])
+            counts = np.diff(np.r_[starts, len(kdoc)])
+            docs_of = kdoc[starts]
+            # winnowing minima: docs with n > window take sliding-window
+            # minima; docs with n <= window take the segment minimum
+            pair_docs: list = []
+            pair_vals: list = []
+            m2 = len(h) - window + 1
+            big = counts > window  # sliding covers n > window only
+            if m2 > 0 and big.any():
+                sw_min = np.lib.stride_tricks.sliding_window_view(
+                    h, window).min(axis=1)
+                wmask = kdoc[:m2] == kdoc[window - 1:]
+                isbig = np.zeros(n_docs, dtype=bool)
+                isbig[docs_of[big]] = True
+                sel = wmask & isbig[kdoc[:m2]]
+                pair_docs.append(kdoc[:m2][sel])
+                pair_vals.append(sw_min[sel].astype(np.int64))
+            small = counts <= window
+            if small.any():
+                seg_min = np.minimum.reduceat(h, starts)
+                pair_docs.append(docs_of[small])
+                pair_vals.append(seg_min[small].astype(np.int64))
+            pd_all = np.concatenate(pair_docs)
+            pv_all = np.concatenate(pair_vals)  # signed: fp sort order
+            order = np.lexsort((pv_all, pd_all))
+            pd_s, pv_s = pd_all[order], pv_all[order]
+            uniq = np.r_[True, (np.diff(pd_s) != 0) | (np.diff(pv_s) != 0)]
+            pd_u, pv_u = pd_s[uniq], pv_s[uniq]
+            fstarts = np.flatnonzero(np.r_[True, np.diff(pd_u) != 0])
+            fcounts = np.diff(np.r_[fstarts, len(pd_u)])
+            fdocs = pd_u[fstarts]
+            # digests: FNV position sweep across all docs at once
+            with np.errstate(over="ignore"):
+                dig = np.full(len(fdocs), _FNV_OFFSET, dtype=np.uint64)
+                pv_un = pv_u.astype(np.uint64)
+                for p in range(int(fcounts.max())):
+                    alive = fcounts > p
+                    dig[alive] = (dig[alive] ^ pv_un[fstarts[alive] + p]) * _FNV_PRIME
+            out_dig[fdocs] = dig.astype(np.int64)
+            bounds = np.r_[fstarts, len(pd_u)]
+            for i, d in enumerate(fdocs):
+                out_fps[int(d)] = pv_u[bounds[i]:min(bounds[i] + 64, bounds[i + 1])].tolist()
+            yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                                "digest": out_dig})
 
     return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="id long, fingerprints array<long>, digest long"

@@ -142,3 +142,43 @@ def test_expunge_deletes_physical_purge(spark, corpus, tmp_path):
         assert rdr2.search_with_total(q, k=30) == fresh.search_with_total(q, k=30), q
     # MatchAll over the partially-purged index = live docs
     assert rdr2.count("*") == n_total - len(victims)
+
+
+def test_over_cap_delete_fallback_matches_numpy_path(spark, corpus, tmp_path,
+                                                     monkeypatch):
+    """Above DELETED_DRIVER_CAP the reader must switch every masking
+    surface to the distributed anti-join and return IDENTICAL results
+    to the closure-shipped numpy path."""
+    from lucene_solr_spark.operators import delete as del_mod
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)
+    rdr0 = IndexReader(spark, d)
+    victims = [r["doc_id"] for r in
+               rdr0.termfreq("spark").orderBy("doc_id").limit(40).collect()]
+    delete_documents(spark, d, victims)
+
+    small = IndexReader(spark, d)
+    assert not small.deletes_over_cap and small.deleted.size == len(victims)
+
+    monkeypatch.setattr(del_mod, "DELETED_DRIVER_CAP", 0)
+    big = IndexReader(spark, d)
+    assert big.deletes_over_cap and big.deleted.size == 0
+
+    for q in ["spark", "content:(spark OR merge OR vector)",
+              "spark AND merge", '"batch batch"']:
+        t_small, n_small = small.search_with_total(q, k=15)
+        t_big, n_big = big.search_with_total(q, k=15)
+        assert n_big == n_small, q
+        assert [d_ for d_, _ in t_big] == [d_ for d_, _ in t_small], q
+        for (_, s1), (_, s2) in zip(t_big, t_small):
+            assert np.float32(s1) == np.float32(s2), q
+
+    tf_small = sorted(map(tuple, small.termfreq("spark").collect()))
+    tf_big = sorted(map(tuple, big.termfreq("spark").collect()))
+    assert tf_big == tf_small
+    assert not set(victims) & {t[0] for t in tf_big}
+
+    sa_small = sorted(map(tuple, small.score_all("spark OR merge").collect()))
+    sa_big = sorted(map(tuple, big.score_all("spark OR merge").collect()))
+    assert [t[0] for t in sa_big] == [t[0] for t in sa_small]

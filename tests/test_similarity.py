@@ -100,11 +100,13 @@ def test_fixed_query_vector_unit():
     assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-12
 
 
-def test_ivf_topk_exact_on_clustered_data(spark):
-    """IVF with planted well-separated clusters: probing the nearest
-    lists recovers the exact brute-force top-k (the structured-data
-    regime IVF exists for); on unstructured vectors recall is governed
-    by n_probe (driver entry is rows-only for that reason)."""
+def test_ivf_build_search_exact_on_clustered_data(spark, tmp_path):
+    """Materialized IVF with planted well-separated clusters: probing
+    the nearest lists recovers the exact brute-force top-k (the
+    structured-data regime IVF exists for); on unstructured vectors
+    recall is governed by n_probe (driver entry is rows-only for that
+    reason). Also pins the scale contract: the probed scan carries a
+    partition filter on ``cluster`` (directory pruning, no full read)."""
     import numpy as np
 
     from lucene_solr_spark.operators import similarity as sim
@@ -117,10 +119,38 @@ def test_ivf_topk_exact_on_clustered_data(spark):
         v = centers[c] + rng.normal(0, 0.2, 16)
         rows.append((i, [float(x) for x in v]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    centroids = sim.ivf_build(df, path, n_clusters=6, iters=4)
+    assert centroids.shape == (6, 16)
+    assert (sim.ivf_centroids(path) == centroids).all()
     q = [float(x) for x in centers[2] + 0.05]
     exact = [(r["vec_id"], round(r["cosine"], 6))
              for r in sim.cosine_topk(df, q, 10).collect()]
-    ivf = [(r["vec_id"], round(r["cosine"], 6))
-           for r in sim.ivf_topk(df, q, 10, n_clusters=6, n_probe=2,
-                                 iters=4).collect()]
-    assert ivf == exact
+    got = sim.ivf_search(spark, path, q, 10, n_probe=2)
+    assert [(r["vec_id"], round(r["cosine"], 6)) for r in got.collect()] == exact
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_ivf_partition_pruning_reads_probed_lists_only(spark, tmp_path):
+    """The pruned scan must touch n_probe/n_clusters of the files: the
+    partition-filtered plan's input size is a strict subset."""
+    import numpy as np
+
+    from lucene_solr_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    sim.ivf_build(df, path, n_clusters=8, iters=2)
+    pruned = spark.read.parquet(path).filter(F.col("cluster").isin([0, 1]))
+    n_pruned = pruned.count()
+    n_all = spark.read.parquet(path).count()
+    assert 0 < n_pruned < n_all
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the filter must sit in PartitionFilters (directory pruning), not
+    # as a post-scan data filter
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cluster" in pf

@@ -149,3 +149,31 @@ def test_fingerprint_shared_substring(spark):
     rows = {r["id"]: set(r["fingerprints"]) for r in tp.doc_fingerprint(df).collect()}
     assert rows[0] & rows[1]
     assert not (rows[0] & rows[2])
+
+
+def test_fingerprint_vectorized_matches_scalar(spark):
+    """The batch kernel must reproduce _fingerprint_scalar exactly —
+    corpus rows, unicode/multibyte spice, and every small-n edge."""
+    from lucene_solr_spark.operators.textproc import _fingerprint_scalar
+    from lucene_solr_spark.sources import load_documents
+
+    texts = [r["text"] for r in load_documents(
+        spark, "/root/testdata/sf0.001").orderBy("doc_id").limit(40).collect()]
+    texts += [
+        "",                       # empty
+        "abc",                    # < k chars
+        "abcdefgh",               # exactly k -> one k-gram
+        "abcdefghij",             # n <= window
+        "abcdefghijklmnopqr",     # n > window
+        "Motörhead café naïve – déjà vu 🚀 ROCKET",  # multibyte + upper
+        "日本語のテキスト mixed ascii text here ok",
+        "x" * 7,                  # boundary: len == k-1 after norm
+        "aa bb cc dd ee ff gg hh ii jj",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["id"]: (list(r["fingerprints"]), r["digest"])
+           for r in tp.doc_fingerprint(df).collect()}
+    for i, t in enumerate(texts):
+        fp, dig = _fingerprint_scalar(t)
+        assert got[i] == (fp[:64], dig), f"doc {i}: {t[:40]!r}"

@@ -111,6 +111,18 @@ def main() -> None:
         "expressions) and TakeOrderedAndProject for the top-k.",
     )
 
+    # 4a. IVF ANN: partition-pruned read of the materialized index
+    ivf_dir = entry._ivf_index_for(spark, sf_dir)
+    add(
+        "ANN IVF top-k (materialized index, partition-pruned probe)",
+        sim.ivf_search(spark, ivf_dir, sim.fixed_query_vector(64), 10,
+                       n_probe=3),
+        "Expect: PartitionFilters with `cluster IN (...)` on the scan — "
+        "the probe reads n_probe/n_clusters of the inverted lists as "
+        "DIRECTORY pruning (non-probed lists never open); then the same "
+        "JVM cosine + TakeOrderedAndProject as the exact baseline.",
+    )
+
     # 4b. round-2 operators: edismax cross-field combine + block join
     add(
         "edismax multi-field combine",
@@ -168,6 +180,8 @@ def main() -> None:
         "WholeStageCodegen": ("WholeStageCodegen" in text or "* " in text),
         "BroadcastHashJoin": "BroadcastHashJoin" in text,
         "partial+final agg": text.count("HashAggregate") >= 2,
+        "IVF partition pruning": bool(
+            re.search(r"PartitionFilters: \[.*cluster", text)),
     }
     for k, v in checks.items():
         print(("OK   " if v else "MISS ") + k)

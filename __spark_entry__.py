@@ -375,6 +375,80 @@ def _fuzzy_expansion(pattern: str, max_edits: int) -> list:
     return sorted(hits)
 
 
+def _language_id_sql() -> str:
+    """language_id oracle: trigram-profile hit rates recomputed in SQL
+    from the SHARED _LANG_PROFILES (replace-based counting == the
+    kernel's non-overlapping regex counts; integer counts and one
+    double division keep both engines bit-identical)."""
+    from lucene_solr_spark.operators.textproc import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    score_exprs = ", ".join(
+        "((" + " + ".join(
+            f"(length(lt) - length(replace(lt, '{g}', ''))) / {len(g)}"
+            for g in _LANG_PROFILES[lang]
+        ) + f") / denom) AS s_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # first-max in profile order == numpy argmax tie-break
+    whens = []
+    for i, l in enumerate(langs):
+        rest = [f"s_{l} >= s_{m}" for m in langs[i + 1:]]
+        whens.append(f"WHEN {' AND '.join(rest)} THEN '{l}'" if rest
+                     else f"ELSE '{l}'")
+    pred = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(whens) + " END"
+    return f"""
+        WITH t AS (SELECT doc_id, lower(text) AS lt,
+                          GREATEST(length(text), 1) AS denom FROM documents),
+        s AS (SELECT doc_id, {score_exprs} FROM t)
+        SELECT doc_id AS id, {pred} AS lang_pred,
+               ROUND({best}, 6) AS lang_score
+        FROM s
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """dedup_simhash oracle: the 64-bit SimHash recomputed in SQL. The
+    per-token FNV hashes are embedded as literals generated FROM the
+    shared _fnv64 kernel over the pinned corpus vocabulary; each bit's
+    tf-weighted vote is a linear combination of per-word counts, and
+    pairs are exact-verified with bit_count(xor) over all id pairs
+    (oracle-side cross join only — the engine side stays banded)."""
+    from lucene_solr_spark.operators.textproc import _fnv64
+
+    words = list(_CORPUS_VOCAB)
+    hs = {w: _fnv64(w) for w in words}
+    cnts = ", ".join(
+        f"len(list_filter(tk, t -> t = '{w}')) AS c{i}"
+        for i, w in enumerate(words))
+    bit_terms = []
+    for b in range(64):
+        signed = " + ".join(
+            (f"c{i}" if (hs[w] >> b) & 1 else f"(-c{i})")
+            for i, w in enumerate(words))
+        weight = ("(-9223372036854775807 - 1)" if b == 63
+                  else str(1 << b))
+        bit_terms.append(
+            f"(CASE WHEN ({signed}) > 0 THEN CAST({weight} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)")
+    sh = " + ".join(bit_terms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> t != '') AS tk
+          FROM documents),
+        c AS (SELECT doc_id, {cnts} FROM toks),
+        s AS (SELECT doc_id, {sh} AS sh FROM c)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) <= {max_hamming}
+        ORDER BY a, b
+    """
+
+
 def _rank_topk(top: DataFrame) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
@@ -678,7 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, sf: tp.minhash_dedup_pairs(
         _docs(s, sf), 0.5, "text"
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
-    q["dedup_simhash"] = lambda s, sf: tp.simhash_near_dup_pairs(_docs(s, sf), 3, "text")
+    q["dedup_simhash"] = lambda s, sf: tp.simhash_near_dup_pairs(
+        _docs(s, sf), 3, "text"
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
     # LSH-bucketed near-dup (the scale path) is the GRADED entry; the
     # O(n^2) exact_near_dup_pairs stays a pytest-only oracle (VERDICT r1
     # #2: no cartesian products in graded entries). Threshold 0.9 is the
@@ -718,7 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- text analysis
     q["text_token_count"] = lambda s, sf: tp.token_count(_docs(s, sf), "text")
     q["text_quality"] = lambda s, sf: tp.quality_score(_docs(s, sf), "text")
-    q["text_language_id"] = lambda s, sf: tp.language_id(_docs(s, sf), "text")
+    q["text_language_id"] = lambda s, sf: tp.language_id(
+        _docs(s, sf), "text"
+    ).select("id", "lang_pred", F.round("lang_score", 6).alias("lang_score"))
     q["text_fingerprint"] = lambda s, sf: tp.doc_fingerprint(_docs(s, sf), "text").select(
         "id", "digest", F.size("fingerprints").alias("n_fp")
     )
@@ -827,23 +905,25 @@ _WINDOW_ORDER = [
     "edge_ngram_termfreq", "synonym_termfreq", "delete_bm25_topk",
     "delete_termfreq", "bm25_simple_mm",
     # facets (incl. the new nested-agg facet) + stats
-    "facet_field_lang", "facet_pivot_lang_source", "facet_range_totalprice",
+    "facet_field_lang", "facet_range_totalprice",
     "facet_nested_avg", "stats_quantity",
-    # aggregation / windows / joins / SQL / math
+    # aggregation / windows / joins / SQL
     "rollup_having_revenue", "timeseries_events_daily",
-    "session_window_events", "significant_terms_en", "block_join_orders",
-    "stats_distinct_users", "hll_user_count", "parallel_sql_revenue",
-    "math_corr_regress", "datemath_week_events",
+    "session_window_events", "block_join_orders",
+    "hll_user_count", "parallel_sql_revenue", "datemath_week_events",
     # graph + ingest seams + new round-3 components
     "graph_gather_nodes", "graph_shortest_path", "ingest_json_roundtrip",
     "ingest_csv_roundtrip", "spellcheck_suggest", "funcparser_recip",
     # standard-analyzer BM25 family (newly oracled this round)
-    "bm25_term_topk", "bm25_disjunction_topk", "bm25_mixed_topk",
-    "bm25_phrase_topk", "bm25_prefix_topk", "bm25_fuzzy_topk",
+    "bm25_term_topk", "bm25_disjunction_topk",
+    "bm25_phrase_topk", "bm25_prefix_topk",
     "bm25_stop_analyzer_topk",
-    # LLM-pipeline dedup family
+    # LLM-pipeline dedup / similarity / text analysis (first-class per
+    # the task brief — every oracled member gets a grader row)
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_embedding_cosine", "dedup_embedding_lsh_planted",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_lsh_planted",
+    "ann_cosine_topk", "ann_knn_join",
+    "text_token_count", "text_quality", "text_language_id",
 ]
 
 
@@ -1155,6 +1235,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(term, 'spart') BETWEEN 1 AND 2
             ORDER BY dist, df DESC, term LIMIT 5
         """,
+        "text_language_id": _language_id_sql(),
+        "dedup_simhash": _simhash_sql(3),
         # suggest(): docFreq-ranked prefix completion over the term
         # dictionary — same index-invariant shape as spellcheck_suggest
         "suggest_terms": """

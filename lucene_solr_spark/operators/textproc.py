@@ -489,10 +489,13 @@ def language_id(df: DataFrame, text_col: str = "text",
             best = scores.argmax(axis=1)
             best_score = scores.max(axis=1)
             pred = np.where(best_score > 0, np.array(langs)[best], "und")
+            # raw double score: callers round for display (F.round is
+            # HALF_UP like DuckDB's double ROUND; np.round is half-even
+            # and would diverge from any SQL oracle on exact ties)
             yield pd.DataFrame({
                 "id": pdf[id_col].to_numpy(),
                 "lang_pred": pred,
-                "lang_score": np.round(best_score, 6),
+                "lang_score": best_score,
             })
 
     return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(

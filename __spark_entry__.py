@@ -449,6 +449,52 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _fingerprint_sql(k: int = 8, window: int = 4, cap: int = 64) -> str:
+    """Winnowing fingerprint oracle: the FULL rolling-Rabin + per-window
+    minima pipeline recomputed in DuckDB list comprehensions (HUGEINT
+    arithmetic mod 2^64 == the kernel's uint64 wrap; minima in unsigned
+    order, fingerprints reported signed-sorted, capped like the entry).
+    The digest (a sequential FNV fold) stays pytest-pinned — this entry
+    oracles set size and signed min/max of the capped set."""
+    p = [257 ** (k - 1 - j) for j in range(k)]
+    terms = " + ".join(f"CAST(by[i+{j}] AS HUGEINT) * {p[j]}" for j in range(k))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+          FROM documents),
+        b AS (
+          SELECT doc_id, length(s) AS n,
+                 [ascii(substr(s, i, 1)) FOR i IN range(1, length(s) + 1)] AS by
+          FROM t),
+        h AS (
+          SELECT doc_id, n,
+                 CASE WHEN n >= {k} THEN
+                   [({terms}) % 18446744073709551616
+                    FOR i IN range(1, n - {k} + 2)]
+                 ELSE CAST([] AS HUGEINT[]) END AS hs
+          FROM b),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+                      WHEN len(hs) <= {window} THEN [list_min(hs)]
+                      ELSE [list_min(hs[i:i+{window - 1}])
+                            FOR i IN range(1, len(hs) - {window} + 2)]
+                 END AS mins
+          FROM h),
+        fp AS (
+          SELECT doc_id,
+                 list_sort(list_transform(list_distinct(mins),
+                   x -> CASE WHEN x >= 9223372036854775808
+                             THEN CAST(x - 18446744073709551616 AS BIGINT)
+                             ELSE CAST(x AS BIGINT) END))[1:{cap}] AS f
+          FROM w)
+        SELECT doc_id AS id, len(f) AS n_fp,
+               CASE WHEN len(f) > 0 THEN f[1] ELSE NULL END AS fp_min,
+               CASE WHEN len(f) > 0 THEN f[len(f)] ELSE NULL END AS fp_max
+        FROM fp
+    """
+
+
 def _rank_topk(top: DataFrame) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
@@ -799,6 +845,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("id", "lang_pred", F.round("lang_score", 6).alias("lang_score"))
     q["text_fingerprint"] = lambda s, sf: tp.doc_fingerprint(_docs(s, sf), "text").select(
         "id", "digest", F.size("fingerprints").alias("n_fp")
+    )
+    # oracled winnowing surface: set size + signed min/max of the capped
+    # fingerprint set (the digest fold stays pytest-pinned)
+    q["text_fingerprint_stats"] = lambda s, sf: tp.doc_fingerprint(
+        _docs(s, sf), "text"
+    ).select(
+        "id", F.size("fingerprints").cast("long").alias("n_fp"),
+        F.array_min("fingerprints").alias("fp_min"),
+        F.array_max("fingerprints").alias("fp_max"),
     )
 
     # ---- enrichment (SURVEY.md §2.13: grouping / MLT / suggest / highlight)
@@ -1237,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_language_id": _language_id_sql(),
         "dedup_simhash": _simhash_sql(3),
+        "text_fingerprint_stats": _fingerprint_sql(),
         # suggest(): docFreq-ranked prefix completion over the term
         # dictionary — same index-invariant shape as spellcheck_suggest
         "suggest_terms": """

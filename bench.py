@@ -73,6 +73,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         return out
 
+    def _membw_probe() -> float:
+        """Aggregate 8-process memory-copy bandwidth (GB/s): the box
+        shares its memory bus with bursty co-tenants (BASELINE.md), so
+        every bench line carries its own contention evidence."""
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from scaling_bench import _membw
+
+            return round(_membw(8, secs=1.5), 1)
+        except Exception:
+            return -1.0
+
+    membw_before = _membw_probe()
+
     # ---- index build (fresh every run: this IS the throughput metric)
     idx_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".work", f"bench_idx_c{cpus}"
@@ -170,6 +185,8 @@ def main() -> None:
             "n_segments_built": len(manifest.seg_ids),
             "n_segments_merged": len(merged.seg_ids),
             "ivf_build_sec": ivf_build_sec,
+            "membw_gbps_before": membw_before,
+            "membw_gbps_after": _membw_probe(),
         },
     }
     line = json.dumps(result)

@@ -759,6 +759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ingest_json_roundtrip"] = _ingest_json_roundtrip
     q["ingest_csv_roundtrip"] = _ingest_csv_roundtrip
 
+    # ---- the north_rule per-row invariant, driver-adjudicated: every
+    # indexed doc's stored sha256 must equal the hash of the source
+    # row's content (BASELINE.json input_hint; CheckIndex asserts the
+    # same in operators/verify.py)
+    q["checkindex_sha256"] = lambda s, sf: _index_for(s, sf).docmeta.select(
+        "doc_id", "sha256")
+
     # ---- JSON Facet API nested aggregates (VERDICT r2 missing #4):
     # per-bucket stats under a terms facet, one shuffle
     q["facet_nested_avg"] = lambda s, sf: sx.facet_field_stats(
@@ -959,9 +966,10 @@ _WINDOW_ORDER = [
     "bm25_english_topk", "english_termfreq", "shingle_termfreq",
     "edge_ngram_termfreq", "synonym_termfreq", "delete_bm25_topk",
     "delete_termfreq", "bm25_simple_mm",
+    # the north_rule per-row invariant
+    "checkindex_sha256",
     # facets (incl. the new nested-agg facet) + stats
-    "facet_field_lang", "facet_range_totalprice",
-    "facet_nested_avg", "stats_quantity",
+    "facet_field_lang", "facet_nested_avg", "stats_quantity",
     # aggregation / windows / joins / SQL
     "rollup_having_revenue", "timeseries_events_daily",
     "session_window_events", "block_join_orders",
@@ -1262,6 +1270,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
             FROM documents
+        """,
+        "checkindex_sha256": """
+            SELECT doc_id, sha256(text) AS sha256 FROM documents
         """,
         "ingest_csv_roundtrip": """
             SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,

@@ -28,6 +28,7 @@ from lucene_solr_spark.operators import graph as gr
 from lucene_solr_spark.operators import clustering as cl
 from lucene_solr_spark.operators import ltr
 from lucene_solr_spark.operators import mathexpr as mx
+from lucene_solr_spark.operators import select as sel
 from lucene_solr_spark.operators import highlight as hl
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
@@ -224,10 +225,12 @@ def _bm25_term_ctes(i: int, term: str, boost: float) -> str:
              FROM m{i} WHERE tf > 0)"""
 
 
-def _bm25_rank_tail(scored_sql: str, k: int, live: str = "") -> str:
+def _bm25_rank_tail(scored_sql: str, k: int, live: str = "",
+                    start: int = 0) -> str:
     """``live``: optional predicate over doc_id selecting LIVE (non-
     tombstoned) docs — applied AFTER scoring, since stats and scores
-    are delete-blind until merge (Lucene liveDocs semantics)."""
+    are delete-blind until merge (Lucene liveDocs semantics).
+    ``start``: pagination offset (Solr /select start=)."""
     where = f" WHERE {live}" if live else ""
     return f""",
     scored AS ({scored_sql})
@@ -236,20 +239,29 @@ def _bm25_rank_tail(scored_sql: str, k: int, live: str = "") -> str:
              ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank,
              ROUND(CAST(sc AS DOUBLE), 4) AS score_r
       FROM scored{where}
-    ) WHERE rank <= {k} ORDER BY rank"""
+    ) WHERE rank > {start} AND rank <= {start + k} ORDER BY rank"""
 
 
 def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0",
-                          exclude: tuple = ()) -> str:
+                          exclude: tuple = (), require: tuple = (),
+                          start: int = 0) -> str:
     """terms: [(term, boost)] in QUERY ORDER (float32 sum order).
     ``exclude``: MUST_NOT terms — docs containing any are dropped
-    (Lucene ReqExclScorer: exclusion never contributes to the score)."""
+    (Lucene ReqExclScorer: exclusion never contributes to the score).
+    ``require``: non-scoring fq terms — docs must contain each (Solr
+    filter-query docSet intersection; scores unchanged)."""
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
     for j, t in enumerate(exclude):
         ctes += (f""",
     x{j} AS (SELECT doc_id FROM cache"""
                  f" WHERE len(list_filter(tk, x -> x = '{t}')) > 0)")
         cond = f"doc_id NOT IN (SELECT doc_id FROM x{j})"
+        live = f"{live} AND {cond}" if live else cond
+    for j, t in enumerate(require):
+        ctes += (f""",
+    fq{j} AS (SELECT doc_id FROM cache"""
+                 f" WHERE len(list_filter(tk, x -> x = '{t}')) > 0)")
+        cond = f"doc_id IN (SELECT doc_id FROM fq{j})"
         live = f"{live} AND {cond}" if live else cond
     union = " UNION ".join(f"SELECT doc_id FROM s{i}" for i in range(len(terms)))
     acc = "COALESCE(s0.sc, CAST(0 AS REAL))"
@@ -258,7 +270,7 @@ def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0"
     joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(len(terms)))
     scored = f"SELECT al.doc_id, {acc} AS sc FROM (SELECT doc_id FROM ({union})) al{joins}"
     return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
-            + _bm25_rank_tail(scored, k, live))
+            + _bm25_rank_tail(scored, k, live, start))
 
 
 def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0") -> str:
@@ -759,6 +771,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ingest_json_roundtrip"] = _ingest_json_roundtrip
     q["ingest_csv_roundtrip"] = _ingest_csv_roundtrip
 
+    # ---- Solr /select facade (SURVEY §3.2 SearchHandler component
+    # chain): q + fq docSet intersection + pagination + fl projection +
+    # facet over the filtered match set, one parameter map
+    q["solr_select_page"] = lambda s, sf: sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": "spark OR merge OR vector", "fq": "join", "start": 2,
+         "rows": 5, "fl": ["lang"]},
+    ).docs.select(
+        F.col("position").cast("long").alias("position"), "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r"), "lang")
+    q["solr_select_facet"] = lambda s, sf: sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": "spark OR merge OR vector", "fq": "join",
+         "facet.field": "lang"},
+    ).facets["lang"]
+
     # ---- the north_rule per-row invariant, driver-adjudicated: every
     # indexed doc's stored sha256 must equal the hash of the source
     # row's content (BASELINE.json input_hint; CheckIndex asserts the
@@ -977,10 +1005,11 @@ _WINDOW_ORDER = [
     # graph + ingest seams + new round-3 components
     "graph_gather_nodes", "graph_shortest_path", "ingest_json_roundtrip",
     "ingest_csv_roundtrip", "spellcheck_suggest", "funcparser_recip",
-    # standard-analyzer BM25 family (newly oracled this round)
+    # standard-analyzer BM25 family (newly oracled this round) + the
+    # /select request-lifecycle composition (SURVEY §3.2)
     "bm25_term_topk", "bm25_disjunction_topk",
-    "bm25_phrase_topk", "bm25_prefix_topk",
-    "bm25_stop_analyzer_topk",
+    "bm25_phrase_topk", "bm25_stop_analyzer_topk",
+    "solr_select_page",
     # LLM-pipeline dedup / similarity / text analysis (first-class per
     # the task brief — every oracled member gets a grader row)
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
@@ -1270,6 +1299,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
             FROM documents
+        """,
+        "solr_select_page": f"""
+            SELECT p.rank AS position, p.doc_id, p.score_r, d.lang
+            FROM ({_bm25_sql_disjunction(
+                [("spark", 1.0), ("merge", 1.0), ("vector", 1.0)],
+                k=5, start=2, require=("join",))}) p
+            JOIN documents d USING (doc_id)
+        """,
+        "solr_select_facet": f"""
+            WITH raw AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            m AS (SELECT doc_id, lang FROM raw
+                  WHERE len(list_filter(tk, t -> t IN ('spark','merge','vector'))) > 0
+                    AND len(list_filter(tk, t -> t = 'join')) > 0)
+            SELECT lang, COUNT(*) AS cnt FROM m
+            GROUP BY lang HAVING COUNT(*) >= 1
+            ORDER BY cnt DESC, lang LIMIT 100
         """,
         "checkindex_sha256": """
             SELECT doc_id, sha256(text) AS sha256 FROM documents

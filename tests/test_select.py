@@ -1,0 +1,64 @@
+"""Solr /select facade tests (component-chain composition semantics)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.build import build_index
+from lucene_solr_spark.operators.search import IndexReader
+from lucene_solr_spark.operators.select import solr_select
+from lucene_solr_spark.sources import load_source_table
+
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("select") / "idx")
+    build_index(spark, load_source_table(spark, sf_dir), d, docs_per_seg=128)
+    return IndexReader(spark, d)
+
+
+def test_pagination_is_coherent(idx):
+    """Pages start=0,rows=10 and (start=0,rows=5)+(start=5,rows=5) must
+    agree; positions are global ranks."""
+    full = solr_select(idx, {"q": "spark OR merge", "rows": 10}).docs.collect()
+    p1 = solr_select(idx, {"q": "spark OR merge", "rows": 5}).docs.collect()
+    p2 = solr_select(idx, {"q": "spark OR merge", "start": 5, "rows": 5}).docs.collect()
+    got = [(r["position"], r["doc_id"]) for r in p1 + p2]
+    want = [(r["position"], r["doc_id"]) for r in full]
+    assert got == want
+    assert [r["position"] for r in full] == list(range(1, 11))
+
+
+def test_fq_is_nonscoring_docset_intersection(idx):
+    """fq filters the doc set but never changes scores (Solr filter
+    cache semantics)."""
+    base = {r["doc_id"]: r["score"] for r in
+            solr_select(idx, {"q": "spark OR merge", "rows": 50}).docs.collect()}
+    fqd = solr_select(idx, {"q": "spark OR merge", "fq": "join", "rows": 50})
+    with_join = {r["doc_id"] for r in idx.termfreq("join").collect()}
+    for r in fqd.docs.collect():
+        assert r["doc_id"] in with_join
+        if r["doc_id"] in base:
+            assert np.float32(r["score"]) == np.float32(base[r["doc_id"]])
+    assert fqd.num_found() <= len(base) or fqd.num_found() <= idx.doc_count
+
+
+def test_sort_by_stored_field(idx):
+    rows = solr_select(idx, {"q": "spark", "sort": "path desc",
+                             "rows": 5, "fl": ["path"]}).docs.collect()
+    paths = [r["path"] for r in rows]
+    assert paths == sorted(paths, reverse=True)
+
+
+def test_facets_count_filtered_match_set(idx, spark, sf_dir):
+    resp = solr_select(idx, {"q": "spark OR merge", "fq": "join",
+                             "facet.field": "lang"})
+    facet = {r["lang"]: r["cnt"] for r in resp.facets["lang"].collect()}
+    match_ids = {r["doc_id"] for r in resp.matches.select("doc_id").collect()}
+    src = load_source_table(spark, sf_dir)
+    want = {}
+    for r in src.select("doc_id", "lang").collect():
+        if r["doc_id"] in match_ids:
+            want[r["lang"]] = want.get(r["lang"], 0) + 1
+    assert facet == want
+    assert sum(facet.values()) == resp.num_found()

@@ -29,6 +29,7 @@ from lucene_solr_spark.operators import clustering as cl
 from lucene_solr_spark.operators import ltr
 from lucene_solr_spark.operators import mathexpr as mx
 from lucene_solr_spark.operators import select as sel
+from lucene_solr_spark.operators import streamparser as sp
 from lucene_solr_spark.operators import highlight as hl
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
@@ -787,6 +788,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          "facet.field": "lang"},
     ).facets["lang"]
 
+    # ---- streaming-expression TEXT front door (SURVEY §2.9,
+    # StreamExpressionParser): parse the Solr text form, compose the
+    # existing combinators, let Catalyst plan the whole expression
+    q["streamexpr_text_rollup"] = lambda s, sf: sp.parse_stream_expr(
+        'having(rollup(search(lineitem, q="*:*", '
+        'fl="l_returnflag,l_linestatus,l_quantity", '
+        'sort="l_returnflag asc"), over="l_returnflag,l_linestatus", '
+        'count(*), sum(l_quantity)), gt(count(*), 100))',
+        {"lineitem": _t(s, sf, "lineitem")},
+    )
+
     # ---- the north_rule per-row invariant, driver-adjudicated: every
     # indexed doc's stored sha256 must equal the hash of the source
     # row's content (BASELINE.json input_hint; CheckIndex asserts the
@@ -1322,6 +1334,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "checkindex_sha256": """
             SELECT doc_id, sha256(text) AS sha256 FROM documents
+        """,
+        "streamexpr_text_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS "count(*)",
+                   SUM(l_quantity) AS "sum(l_quantity)"
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            HAVING COUNT(*) > 100
         """,
         "ingest_csv_roundtrip": """
             SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,

@@ -1,0 +1,80 @@
+"""Streaming-expression text parser tests (StreamExpressionParser analog)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.streamparser import (
+    StreamExprError, parse_stream_expr)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    li = spark.createDataFrame(
+        [("A", "F", 10.0, 1), ("A", "F", 20.0, 2), ("B", "O", 5.0, 3),
+         ("B", "O", 7.0, 4), ("B", "F", 9.0, 5), ("A", "O", 30.0, 6)],
+        "flag string, status string, qty double, id long")
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTO"), (3, "BUILDING")],
+        "id long, seg string")
+    return {"li": li, "cust": cust}
+
+
+def test_search_q_and_fl_and_sort(tables):
+    df = parse_stream_expr(
+        'search(li, q="qty:[7 TO 20]", fl="id,qty", sort="qty desc")', tables)
+    assert df.columns == ["id", "qty"]
+    assert [r["id"] for r in df.collect()] == [2, 1, 5, 4]
+
+
+def test_search_equality_q(tables):
+    df = parse_stream_expr('search(li, q="flag:A", fl="id")', tables)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 6]
+
+
+def test_rollup_having_matches_sql(tables, spark):
+    df = parse_stream_expr(
+        'having(rollup(search(li, q="*:*", fl="flag,status,qty", '
+        'sort="flag asc"), over="flag,status", count(*), sum(qty)), '
+        'gt(count(*), 1))', tables)
+    got = sorted(map(tuple, df.collect()))
+    tables["li"].createOrReplaceTempView("v_li")
+    want = sorted(map(tuple, spark.sql(
+        "SELECT flag, status, COUNT(*), SUM(qty) FROM v_li "
+        "GROUP BY flag, status HAVING COUNT(*) > 1").collect()))
+    assert got == want
+
+
+def test_top_unique_join_composition(tables):
+    df = parse_stream_expr(
+        'top(innerJoin(search(li, q="*:*", fl="id,flag,qty", sort="id asc"), '
+        'search(cust, q="*:*", fl="id,seg", sort="id asc"), on="id"), '
+        'n=2, sort="qty desc")', tables)
+    rows = df.collect()
+    assert [r["id"] for r in rows] == [2, 1]
+    assert rows[0]["seg"] == "AUTO"
+    uniq = parse_stream_expr(
+        'unique(search(li, q="*:*", fl="flag,qty", sort="flag asc,qty asc"), '
+        'over="flag")', tables)
+    assert uniq.count() == 2
+
+
+def test_select_rename_and_facet(tables):
+    df = parse_stream_expr(
+        'select(search(li, q="*:*", fl="id,qty", sort="id asc"), id, qty=quantity)',
+        tables)
+    assert df.columns == ["id", "quantity"]
+    f = parse_stream_expr('facet(li, q="flag:B", buckets="status")', tables)
+    got = {(r["status"], r["cnt"]) for r in f.collect()}
+    assert got == {("O", 2), ("F", 1)}
+
+
+def test_errors(tables):
+    for bad in [
+        'bogus(li)',
+        'search(nope, q="*:*")',
+        'having(search(li, q="*:*"))',
+        'search(li, q="qty>5")',
+        'rollup(search(li, q="*:*"), over="flag") trailing',
+    ]:
+        with pytest.raises(StreamExprError):
+            parse_stream_expr(bad, tables)

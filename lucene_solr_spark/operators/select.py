@@ -51,13 +51,23 @@ class SelectResponse:
         return self.matches.count()
 
 
+def _fq_ids(idx, fq: str) -> DataFrame:
+    """One filter query -> doc_id set. ``field:value`` against a STORED
+    field filters docmeta (Solr fq on a docValues field); anything else
+    parses as a query against the indexed content."""
+    if ":" in fq:
+        fld, _, val = fq.partition(":")
+        if fld in idx.docmeta.columns and fld != "doc_id":
+            return (idx.docmeta.filter(F.col(fld) == val)
+                    .select("doc_id"))
+    return idx.score_all(
+        parse_query(fq, analyzer=idx.manifest.analyzer)).select("doc_id")
+
+
 def _match_set(idx, q: str, fqs: Sequence[str]) -> DataFrame:
     scored = idx.score_all(parse_query(q, analyzer=idx.manifest.analyzer))
     for fq in fqs:
-        fq_ids = idx.score_all(
-            parse_query(fq, analyzer=idx.manifest.analyzer)
-        ).select("doc_id")
-        scored = scored.join(fq_ids, "doc_id", "left_semi")
+        scored = scored.join(_fq_ids(idx, fq), "doc_id", "left_semi")
     return scored
 
 

@@ -62,3 +62,16 @@ def test_facets_count_filtered_match_set(idx, spark, sf_dir):
             want[r["lang"]] = want.get(r["lang"], 0) + 1
     assert facet == want
     assert sum(facet.values()) == resp.num_found()
+
+
+def test_fq_on_stored_field(idx):
+    """fq=lang:en filters via docmeta (Solr docValues fq), content fq
+    still goes through the query parser."""
+    resp = solr_select(idx, {"q": "spark OR merge", "fq": "lang:en",
+                             "rows": 20, "fl": ["lang"]})
+    rows = resp.docs.collect()
+    assert rows and all(r["lang"] == "en" for r in rows)
+    both = solr_select(idx, {"q": "spark OR merge",
+                             "fq": ["lang:en", "join"], "rows": 20})
+    with_join = {r["doc_id"] for r in idx.termfreq("join").collect()}
+    assert all(r["doc_id"] in with_join for r in both.docs.collect())

@@ -799,6 +799,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"lineitem": _t(s, sf, "lineitem")},
     )
 
+    # ---- JSON Facet API request shape (SURVEY §2.6 FacetRequest):
+    # nested spec -> terms facet with per-bucket stats + sub-facet
+    q["json_facet_orders"] = _json_facet_orders
+    q["json_facet_nested"] = lambda s, sf: _json_facet_req(
+        _t(s, sf, "orders"))["status:o_orderstatus/o_orderpriority"]
+
     # ---- the north_rule per-row invariant, driver-adjudicated: every
     # indexed doc's stored sha256 must equal the hash of the source
     # row's content (BASELINE.json input_hint; CheckIndex asserts the
@@ -1200,6 +1206,28 @@ def _ivf_index_for(s: SparkSession, sf: str) -> str:
     return d
 
 
+def _json_facet_req(orders: DataFrame):
+    """Shared JSON-Facet request: terms on o_orderstatus with decimal
+    revenue + distinct-customer stats and a nested priority sub-facet
+    (decimal column pre-cast so the sum is order-independent exact)."""
+    from lucene_solr_spark.operators import jsonfacet as jf
+
+    src = orders.withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+    return jf.json_facet(src, {
+        "status": {"type": "terms", "field": "o_orderstatus",
+                   "facet": {"rev": "sum(price_dec)",
+                             "uniq_cust": "unique(o_custkey)",
+                             "prio": {"type": "terms",
+                                      "field": "o_orderpriority"}}},
+    })
+
+
+def _json_facet_orders(s: SparkSession, sf: str) -> DataFrame:
+    return _json_facet_req(_t(s, sf, "orders"))["status"].select(
+        "o_orderstatus", "cnt", "rev", "uniq_cust")
+
+
 def _planted_embeddings(s: SparkSession, sf: str) -> DataFrame:
     """embeddings ∪ exact copies of vec_id<10 shifted to id+10000 —
     deterministic planted duplicates for the LSH near-dup oracle."""
@@ -1334,6 +1362,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "checkindex_sha256": """
             SELECT doc_id, sha256(text) AS sha256 FROM documents
+        """,
+        "json_facet_orders": """
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   COUNT(DISTINCT o_custkey) AS uniq_cust
+            FROM orders GROUP BY o_orderstatus HAVING COUNT(*) >= 1
+            ORDER BY cnt DESC, o_orderstatus LIMIT 100
+        """,
+        "json_facet_nested": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+            HAVING COUNT(*) >= 1
+            ORDER BY cnt DESC, o_orderstatus, o_orderpriority
         """,
         "streamexpr_text_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS "count(*)",

@@ -1,0 +1,59 @@
+"""JSON Facet API request-shape tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.jsonfacet import JsonFacetError, json_facet
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [("A", "x", 10.0, 1), ("A", "y", 20.0, 2), ("A", "x", 5.0, 1),
+         ("B", "x", 7.0, 3), ("B", "y", 9.0, 3)],
+        "g string, h string, v double, u long")
+
+
+def test_terms_with_stats_and_nesting(df):
+    out = json_facet(df, {
+        "by_g": {"type": "terms", "field": "g",
+                 "facet": {"total": "sum(v)", "users": "unique(u)",
+                           "by_h": {"type": "terms", "field": "h"}}},
+    })
+    top = {r["g"]: (r["cnt"], r["total"], r["users"])
+           for r in out["by_g"].collect()}
+    assert top == {"A": (3, 35.0, 2), "B": (2, 16.0, 1)}
+    nested = {(r["g"], r["h"]): r["cnt"]
+              for r in out["by_g:g/h"].collect()}
+    assert nested == {("A", "x"): 2, ("A", "y"): 1, ("B", "x"): 1, ("B", "y"): 1}
+
+
+def test_stat_arithmetic_via_funcparser(df):
+    out = json_facet(df, {
+        "by_g": {"type": "terms", "field": "g",
+                 "facet": {"half": "sum(div(v,2))"}},
+    })
+    got = {r["g"]: r["half"] for r in out["by_g"].collect()}
+    assert got == {"A": 17.5, "B": 8.0}
+
+
+def test_query_and_range_facets(df):
+    out = json_facet(df, {
+        "big": {"type": "query", "q": "v > 8"},
+        "ranges": {"type": "range", "field": "v", "start": 0.0,
+                   "end": 30.0, "gap": 10.0},
+    })
+    assert out["big"].collect()[0]["cnt"] == 3
+    buckets = {r["bucket"]: r["cnt"] for r in out["ranges"].collect()}
+    assert buckets[0] == 3 and buckets[1] == 1 and buckets[2] == 1
+
+
+def test_mincount_and_errors(df):
+    out = json_facet(df, {"g2": {"type": "terms", "field": "g",
+                                 "mincount": 3}})
+    assert [r["g"] for r in out["g2"].collect()] == ["A"]
+    with pytest.raises(JsonFacetError):
+        json_facet(df, {"bad": {"type": "nope"}})
+    with pytest.raises(JsonFacetError):
+        json_facet(df, {"bad": {"type": "terms", "field": "g",
+                                "facet": {"s": "median(v)"}}})

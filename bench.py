@@ -150,7 +150,14 @@ def main() -> None:
         ).collect(),
     )
 
-    # ---- training-data pipeline headliners
+    # ---- training-data pipeline headliners; one untimed full pass
+    # absorbs Arrow-UDF startup + per-plan codegen/AQE materialization
+    # (fixed costs that vanish at scale), then caches are CLEARED so the
+    # timed run recomputes signatures/candidates/verify from scratch on
+    # warm executors — steady-state operator latency, cold data caches
+    # (same policy as the BM25 warm-up above)
+    tp.minhash_dedup_pairs(docs, 0.8, "text").count()
+    spark.catalog.clearCache()
     timed("dedup_minhash_lsh", lambda: tp.minhash_dedup_pairs(docs, 0.8, "text").collect())
     timed("text_quality", lambda: tp.quality_score(docs, "text").collect())
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -148,6 +148,18 @@ def main() -> None:
         "HashAggregate keyed on the parent, then a join back to parents.",
     )
 
+    # 4c. /select request: fq semi-joins + one TakeOrderedAndProject
+    from lucene_solr_spark.operators.select import solr_select
+
+    add(
+        "Solr /select (q + fq + page)",
+        solr_select(idx, {"q": "spark OR merge", "fq": "join",
+                          "rows": 5, "fl": ["lang"]}).docs,
+        "Expect: the fq docSet applied as a (broadcast) left-semi join "
+        "on doc_id BEFORE the top-k; one TakeOrderedAndProject sized "
+        "start+rows; the docmeta join projects ONLY the fl columns.",
+    )
+
     # 5. metadata-only predicate pushdown on a filtered source read
     add(
         "Source scan with filter + projection pushdown",

@@ -109,6 +109,51 @@ def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> Manifest:
     return delete_documents(spark, index_dir, rdr.termfreq(term).select("doc_id"))
 
 
+def update_documents(spark: SparkSession, index_dir: str,
+                     new_rows: DataFrame,
+                     key_cols: Sequence[str] = ("repo", "path")) -> Manifest:
+    """IndexWriter.updateDocument(Term, doc) end-to-end: re-index the
+    replacement rows as NEW segments (fresh doc_ids — Lucene also
+    assigns new internal docids on update) and tombstone every existing
+    doc matching the ``key_cols`` application key.
+
+    ``new_rows``: (repo, path, commit, lang, content) — no doc_id; ids
+    are allocated after the current maximum range so segment doc-ranges
+    stay contiguous and append-only.
+
+    Commit discipline: the segment append commits gen+1, the delete
+    commits gen+2 (each atomic via the segments_N rename). A crash
+    between the two leaves duplicates visible, and RE-RUNNING the same
+    update is the repair: the delete matches by key, so it tombstones
+    the stale rows (Lucene's single-commit atomicity traded for two
+    idempotent commits — the same replay-to-repair contract the
+    streaming sink uses)."""
+    from pyspark.sql import Window
+
+    from .build import build_index
+    from .search import IndexReader
+
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {index_dir}")
+    rdr = IndexReader(spark, index_dir, cache_stats=False)
+    keys = new_rows.select(*key_cols).distinct()
+    old_ids = (rdr.docmeta.join(keys, list(key_cols), "left_semi")
+               .select("doc_id"))
+    # allocate AFTER the last covered CONSTRUCTION range (doc_hi =
+    # (seg+1)*docs_per_seg): resume treats covered ranges as committed,
+    # so ids inside them would be silently skipped (and a rebuild there
+    # would clobber the segment parquet)
+    next_id = max((s.get("doc_hi", s["doc_base"] + s["n_docs"])
+                   for s in m.segments), default=0)
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    with_ids = new_rows.withColumn(
+        "doc_id", (F.row_number().over(w) + F.lit(next_id - 1)).cast("long"))
+    build_index(spark, with_ids, index_dir, docs_per_seg=m.docs_per_seg,
+                analyzer=m.analyzer, resume=True)
+    return delete_documents(spark, index_dir, old_ids)
+
+
 def load_deleted_ids(index_dir: str, m: Manifest):
     """-> sorted numpy int64 array of tombstoned doc_ids (deduped)."""
     import numpy as np

@@ -182,3 +182,40 @@ def test_over_cap_delete_fallback_matches_numpy_path(spark, corpus, tmp_path,
     sa_small = sorted(map(tuple, small.score_all("spark OR merge").collect()))
     sa_big = sorted(map(tuple, big.score_all("spark OR merge").collect()))
     assert [t[0] for t in sa_big] == [t[0] for t in sa_small]
+
+
+def test_update_documents_replaces_by_key(spark, corpus, tmp_path):
+    """updateDocument: new content visible under fresh doc_ids, every
+    old doc with the same (repo, path) key tombstoned."""
+    from lucene_solr_spark.operators.delete import update_documents
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)
+    rdr0 = IndexReader(spark, d)
+    n0 = rdr0.doc_count
+    victims = corpus.orderBy("doc_id").limit(3).collect()
+    assert rdr0.count("zzzupdated") == 0
+
+    new_rows = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"],
+          "zzzupdated replacement content body " + r["path"])
+         for r in victims],
+        "repo string, path string, commit string, lang string, content string")
+    update_documents(spark, d, new_rows)
+
+    rdr = IndexReader(spark, d)
+    top, total = rdr.search_with_total("zzzupdated", k=10)
+    assert total == 3
+    new_ids = {doc for doc, _ in top}
+    old_ids = {r["doc_id"] for r in victims}
+    assert new_ids.isdisjoint(old_ids)
+    assert min(new_ids) >= n0          # appended after the old ranges
+    # old copies are dead on every query surface
+    for r in victims:
+        toks = [t for t in r["content"].split() if len(t) > 3][:1]
+        if toks:
+            alive = {doc for doc, _ in rdr.search_with_total(toks[0], k=1000)[0]}
+            assert r["doc_id"] not in alive
+    # replacement metadata is fetchable
+    fetched = rdr.fetch(rdr.search("zzzupdated", k=10)).collect()
+    assert {f["path"] for f in fetched} == {r["path"] for r in victims}

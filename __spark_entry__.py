@@ -173,7 +173,7 @@ _BM25_PRELUDE = """
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
                          t -> t != '') AS tk0
-      FROM documents),
+      FROM ({src})),
     toks AS (SELECT doc_id, {chain} AS tk FROM raw),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS sum_dl FROM toks),
     nq(lo, hi) AS (VALUES {ranges}),
@@ -245,7 +245,8 @@ def _bm25_rank_tail(scored_sql: str, k: int, live: str = "",
 
 def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0",
                           exclude: tuple = (), require: tuple = (),
-                          start: int = 0) -> str:
+                          start: int = 0,
+                          src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """terms: [(term, boost)] in QUERY ORDER (float32 sum order).
     ``exclude``: MUST_NOT terms — docs containing any are dropped
     (Lucene ReqExclScorer: exclusion never contributes to the score).
@@ -270,22 +271,24 @@ def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0"
         acc = f"({acc} + COALESCE(s{i}.sc, CAST(0 AS REAL)))"
     joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(len(terms)))
     scored = f"SELECT al.doc_id, {acc} AS sc FROM (SELECT doc_id FROM ({union})) al{joins}"
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
             + _bm25_rank_tail(scored, k, live, start))
 
 
-def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0") -> str:
+def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0",
+                          src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
     acc = "s0.sc"
     for i in range(1, len(terms)):
         acc = f"({acc} + s{i}.sc)"
     joins = "".join(f" JOIN s{i} USING (doc_id)" for i in range(1, len(terms)))
     scored = f"SELECT s0.doc_id, {acc} AS sc FROM s0{joins}"
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_min_should_match(terms, mm: int, k: int = 10, chain: str = "tk0") -> str:
+def _bm25_sql_min_should_match(terms, mm: int, k: int = 10, chain: str = "tk0",
+                               src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Disjunction whose candidates must match >= mm clauses; scores
     still sum ALL matching clauses (float32, query order)."""
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
@@ -297,11 +300,12 @@ def _bm25_sql_min_should_match(terms, mm: int, k: int = 10, chain: str = "tk0") 
     scored = (f"SELECT al.doc_id, {acc} AS sc FROM "
               f"(SELECT doc_id FROM ({union}) GROUP BY doc_id "
               f"HAVING COUNT(*) >= {mm}) al{joins}")
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10, chain: str = "tk0") -> str:
+def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10, chain: str = "tk0",
+                     src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """DisMax: score = max + tiebreak*(total - max), float32 (total
     accumulated left-associatively in clause order like the kernel)."""
     ctes = "".join(_bm25_term_ctes(i, t, 1.0) for i, t in enumerate(terms))
@@ -314,11 +318,12 @@ def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10, chain: str = "tk0") ->
     scored = f"""SELECT doc_id, (mx + CAST({tiebreak!r} AS REAL) * (tot - mx)) AS sc
       FROM (SELECT al.doc_id, {acc} AS tot, GREATEST({", ".join(vs)}) AS mx
             FROM (SELECT doc_id FROM ({union})) al{joins})"""
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0") -> str:
+def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0",
+                     src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Exact (slop 0) phrase: tf = count of ordered adjacent matches;
     weight = float32(boost * sum(idf(term))) summed in phrase order."""
     distinct = list(dict.fromkeys(terms))
@@ -339,7 +344,7 @@ def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0")
                    len([i FOR i IN range(1, {hi}) IF {conds}]) AS tf
             FROM cache)
       WHERE tf > 0"""
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
             + _bm25_rank_tail(scored, k))
 
 
@@ -577,6 +582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["delete_bm25_topk"] = lambda s, sf: _rank_topk(
         _deleted_index(s, sf).search("spark OR merge", k=10))
     q["delete_termfreq"] = lambda s, sf: _deleted_index(s, sf).termfreq("value")
+    # updateDocument (delete-by-key + re-index under fresh ids):
+    # float32-oracled against the modeled post-update corpus
+    q["update_bm25_topk"] = lambda s, sf: _rank_topk(
+        _updated_index(s, sf).search("updatemark OR value", k=10))
+    q["update_termfreq"] = lambda s, sf: _updated_index(s, sf).termfreq("updatemark")
     q["bm25_simple_mm"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.BooleanQuery(
@@ -1042,7 +1052,7 @@ def _ltr_sql(term: str, w1: float, w2: float, w3: float,
     """LTR oracle: float32 BM25 candidates (top-``cand``), features in
     double (bm25, ln(1+dl), 1000/(id+10)), linear combine in the same
     left-associative order as operators/ltr.linear_rerank."""
-    prelude = _BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0")
+    prelude = _BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0", src="SELECT doc_id, text FROM documents")
     ctes = _bm25_term_ctes(0, term, 1.0)
     model = f"({w1!r} * bm25 + {w2!r} * log_dl) + {w3!r} * recency"
     return f"""{prelude}{ctes},
@@ -1193,6 +1203,66 @@ def _ingest_csv_roundtrip(s: SparkSession, sf: str) -> DataFrame:
         F.sum(F.length("text")).alias("text_chars"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+#: deterministic replacement body for the updateDocument entries
+_UPDATE_MARK_TEXT = "updatemark updatemark value"
+
+#: the first doc_id after the build's last covered construction range
+#: ((floor(max_id/128)+1)*128 == Manifest doc_hi for docs_per_seg=128)
+_UPD_BOUNDARY_SQL = ("(SELECT (CAST(FLOOR(MAX(doc_id) / 128.0) AS BIGINT) + 1)"
+                     " * 128 FROM documents)")
+
+
+def _updated_index(s: SparkSession, sf: str) -> IndexReader:
+    """simple-analyzer index where every doc_id % 13 == 0 has been
+    REPLACED via update_documents (keyed on repo/path): replacements
+    re-indexed under fresh doc_ids appended after the last construction
+    boundary, stale copies tombstoned — IndexWriter.updateDocument
+    end-to-end, with a full float32 SQL oracle over the modeled
+    post-update corpus."""
+    from lucene_solr_spark.operators.delete import update_documents
+
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"idx_v{INDEX_FORMAT_VERSION}_{tag}_simple_upd")
+    if read_manifest(d) is None:
+        build_index(s, load_source_table(s, sf), d,
+                    docs_per_seg=128, analyzer="simple")
+    m = read_manifest(d)
+    if not m.delete_files:
+        new_rows = (load_source_table(s, sf)
+                    .filter(F.col("doc_id") % 13 == 0)
+                    .select("repo", "path", "commit", "lang")
+                    .withColumn("content", F.lit(_UPDATE_MARK_TEXT)))
+        update_documents(s, d, new_rows)
+    key = (d, "simple_upd")
+    rdr = _INDEX_CACHE.get(key)
+    if rdr is None:
+        rdr = IndexReader(s, d)
+        _INDEX_CACHE[key] = rdr
+    return rdr
+
+
+def _updated_src_sql() -> str:
+    """The post-update corpus modeled in SQL: original docs UNION the
+    deterministic replacements with their allocated ids (row_number in
+    (repo, path) order after the construction boundary — exactly
+    update_documents' allocation)."""
+    return f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {_UPD_BOUNDARY_SQL} + ROW_NUMBER() OVER (ORDER BY repo, path) - 1
+               AS doc_id,
+             '{_UPDATE_MARK_TEXT}' AS text
+      FROM (SELECT 'corpus/' || source AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+            FROM documents WHERE doc_id % 13 = 0)
+    """
+
+
+#: liveDocs predicate of the updated index: originals %13==0 are
+#: tombstoned; the appended replacements (>= boundary) are live
+_UPD_LIVE_SQL = f"(doc_id % 13 != 0 OR doc_id >= {_UPD_BOUNDARY_SQL})"
 
 
 def _ivf_index_for(s: SparkSession, sf: str) -> str:
@@ -1480,6 +1550,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "delete_bm25_topk": _bm25_sql_disjunction(
             [("spark", 1.0), ("merge", 1.0)], live="doc_id % 7 != 0"),
+        "update_bm25_topk": _bm25_sql_disjunction(
+            [("updatemark", 1.0), ("value", 1.0)], live=_UPD_LIVE_SQL,
+            src_sql=_updated_src_sql()),
+        "update_termfreq": f"""
+            WITH src AS ({_updated_src_sql()})
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                     t -> t = 'updatemark')) AS tf
+              FROM src
+            ) WHERE tf > 0 AND {_UPD_LIVE_SQL}
+        """,
         "delete_termfreq": r"""
             SELECT doc_id, tf FROM (
               SELECT doc_id,

@@ -773,6 +773,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         & (F.col("ts") < _datemath_ntz_lit("2024-01-10T06:30:00Z/DAY+7DAYS"))
     ).agg(F.count(F.lit(1)).alias("cnt"),
           F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+    # ---- bisect probes for the two chronic grader hash-reds (r1-r3):
+    # each probe isolates ONE suspect layer of those entries — wall-clock
+    # day bucketing with no decimal, exact bigint cents with no DECIMAL
+    # type anywhere (value is 2-decimal data, so ROUND(value*100) is an
+    # exact integer in float64 on both engines), and a DECIMAL sum with
+    # no time dimension. Whichever probe is red in CORRECTNESS_r04 names
+    # the failing layer; the historic entries stay in-window as controls.
+    q["ts_probe_day_cnt"] = lambda s, sf: sx.timeseries_stream(
+        _events_ntz(s, sf), "ts", "1 day", F.count(F.lit(1)).alias("cnt"),
+    ).select(F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), "cnt")
+    q["ts_probe_day_cents"] = lambda s, sf: sx.timeseries_stream(
+        _events_ntz(s, sf), "ts", "1 day",
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    ).select(F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+             "sum_cents")
+    q["ts_probe_sum_cents"] = lambda s, sf: _events_ntz(s, sf).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"))
+    q["ts_probe_sum_decimal"] = lambda s, sf: _events_ntz(s, sf).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+    q["dm_probe_week_cnt"] = lambda s, sf: _events_ntz(s, sf).filter(
+        (F.col("ts") >= _datemath_ntz_lit("2024-01-10T06:30:00Z/DAY"))
+        & (F.col("ts") < _datemath_ntz_lit("2024-01-10T06:30:00Z/DAY+7DAYS"))
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    q["dm_probe_week_cents"] = lambda s, sf: _events_ntz(s, sf).filter(
+        (F.col("ts") >= _datemath_ntz_lit("2024-01-10T06:30:00Z/DAY"))
+        & (F.col("ts") < _datemath_ntz_lit("2024-01-10T06:30:00Z/DAY+7DAYS"))
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"))
     q["graph_gather_nodes"] = lambda s, sf: gr.gather_nodes(
         _edges(s, sf), _edges(s, sf).filter(F.col("src").isin("P1", "P2", "P3"))
         .select("src"), "src", "dst", hops=2)
@@ -1012,38 +1040,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: the driver's 50-entry evidence window, most-valuable-first
+#: the driver's 50-entry evidence window, most-valuable-first.
+#: Round-4 rotation (VERDICT r3 asks #1+#3): entries green in BOTH r2
+#: and r3 already carry permanent grader rows, so they rotate out in
+#: favor of the 40+ oracled entries that have NEVER been graded; the
+#: two chronic reds stay in as controls next to their bisect probes,
+#: and dedup_minhash_lsh / update_* stay in because their code paths
+#: change this round. Everything rotated out is still replica-checked
+#: (driver_check runs the full set).
 _WINDOW_ORDER = [
-    # Tier-0 float32-oracled BM25 (simple analyzer) + edismax + LTR
-    "bm25_simple_term", "bm25_simple_disjunction", "bm25_simple_conjunction",
-    "bm25_simple_phrase", "bm25_simple_boost", "bm25_simple_dismax",
-    "edismax_qf_topk", "edismax_mm_topk", "ltr_rerank_topk",
-    # analyzer chains + deletes
-    "bm25_english_topk", "english_termfreq", "shingle_termfreq",
-    "edge_ngram_termfreq", "synonym_termfreq", "delete_bm25_topk",
-    "delete_termfreq", "bm25_simple_mm",
-    # the north_rule per-row invariant
-    "checkindex_sha256",
-    # facets (incl. the new nested-agg facet) + stats
-    "facet_field_lang", "facet_nested_avg", "stats_quantity",
-    # aggregation / windows / joins / SQL
-    "rollup_having_revenue", "timeseries_events_daily",
-    "session_window_events", "block_join_orders",
-    "hll_user_count", "parallel_sql_revenue", "datemath_week_events",
-    # graph + ingest seams + new round-3 components
-    "graph_gather_nodes", "graph_shortest_path", "ingest_json_roundtrip",
-    "ingest_csv_roundtrip", "spellcheck_suggest", "funcparser_recip",
-    # standard-analyzer BM25 family (newly oracled this round) + the
-    # /select request-lifecycle composition (SURVEY §3.2)
-    "bm25_term_topk", "bm25_disjunction_topk",
-    "bm25_phrase_topk", "bm25_stop_analyzer_topk",
-    "solr_select_page",
-    # LLM-pipeline dedup / similarity / text analysis (first-class per
-    # the task brief — every oracled member gets a grader row)
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_lsh_planted",
-    "ann_cosine_topk", "ann_knn_join",
-    "text_token_count", "text_quality", "text_language_id",
+    # bisect probes + the two chronic-red controls (VERDICT r3 #1)
+    "ts_probe_day_cnt", "ts_probe_day_cents", "ts_probe_sum_cents",
+    "ts_probe_sum_decimal", "dm_probe_week_cnt", "dm_probe_week_cents",
+    "timeseries_events_daily", "datemath_week_events",
+    # keyed updateDocument surface (code path changes this round)
+    "update_bm25_topk", "update_termfreq",
+    # never-graded standard-analyzer BM25 + multiterm family
+    "bm25_conjunction_topk", "bm25_mixed_topk", "bm25_prefix_topk",
+    "bm25_wildcard_topk", "bm25_fuzzy_topk", "bm25_range_topk",
+    "bm25_min_should_match",
+    # never-graded facets / streams / joins
+    "facet_pivot_lang_source", "facet_range_totalprice", "facet_query_events",
+    "rank_stream_top20", "unique_stream_first_order", "merge_stream_hi_lo",
+    "intersect_stream_cust", "complement_stream_cust",
+    "hash_join_orders_cust", "join_scored_max", "significant_terms_en",
+    "collapse_best_order", "search_after_page", "reducer_stream_events",
+    "stats_distinct_users", "math_corr_regress", "group_top2_orders",
+    # never-graded round-3 front doors + misc components
+    "solr_select_facet", "streamexpr_text_rollup",
+    "json_facet_orders", "json_facet_nested", "text_fingerprint_stats",
+    "mlt_similar", "suggest_terms",
+    # never-graded function-query family
+    "fq_termfreq", "fq_map_recip_linear", "fq_geofilt",
+    # dedup entry whose kernel gains the estimated-Jaccard prefilter
+    "dedup_minhash_lsh",
 ]
 
 
@@ -1371,6 +1401,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "datemath_week_events": """
             SELECT COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-10 00:00:00' + INTERVAL 7 DAY
+        """,
+        # bisect probes (see queries()): SUM(BIGINT) is HUGEINT in DuckDB
+        # -> cast back to BIGINT so Arrow serializes int64 on both sides
+        "ts_probe_day_cnt": """
+            SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "ts_probe_day_cents": """
+            SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "ts_probe_sum_cents": """
+            SELECT COUNT(*) AS cnt,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events
+        """,
+        "ts_probe_sum_decimal": """
+            SELECT SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events
+        """,
+        "dm_probe_week_cnt": """
+            SELECT COUNT(*) AS cnt FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-10 00:00:00' + INTERVAL 7 DAY
+        """,
+        "dm_probe_week_cents": """
+            SELECT CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts < TIMESTAMP '2024-01-10 00:00:00' + INTERVAL 7 DAY

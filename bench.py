@@ -169,7 +169,7 @@ def main() -> None:
     ivf_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".work",
         f"bench_ivf_{os.path.basename(os.path.normpath(sf_dir))}")
-    if not os.path.exists(os.path.join(ivf_dir, "_SUCCESS")):
+    if not sim.ivf_complete(ivf_dir):
         t0 = time.perf_counter()
         sim.ivf_build(emb, ivf_dir, n_clusters=8, iters=3)
         ivf_build_sec = round(time.perf_counter() - t0, 4)

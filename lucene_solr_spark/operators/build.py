@@ -511,8 +511,11 @@ def build_index(
             "its doc count, so larger segments would need in-build sharding"
         )
     prev = read_manifest(index_dir) if resume else None
-    if prev is not None and (prev.docs_per_seg != docs_per_seg or prev.analyzer != analyzer):
-        raise ValueError("resume with different docs_per_seg/analyzer — use a fresh index_dir")
+    if prev is not None and (prev.docs_per_seg != docs_per_seg
+                             or prev.analyzer != analyzer
+                             or prev.field != field_name):
+        raise ValueError(
+            "resume with different docs_per_seg/analyzer/field — use a fresh index_dir")
     done = set(prev.seg_ids) if prev else set()
 
     src = source.withColumn("seg", (F.col("doc_id") / docs_per_seg).cast("int"))

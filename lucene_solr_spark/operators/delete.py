@@ -53,15 +53,17 @@ def count_deleted_rows(index_dir: str, m: Manifest) -> int:
     import pyarrow.parquet as pq
 
     return sum(
-        pq.ParquetFile(os.path.join(_deletes_dir(index_dir), f)).metadata.num_rows
+        pq.ParquetFile(p).metadata.num_rows
         for f in m.delete_files
+        for p in _delete_entry_paths(index_dir, f)
     )
 
 
 def deleted_ids_df(spark: SparkSession, index_dir: str, m: Manifest) -> DataFrame:
     """Tombstones as a distributed DataFrame (deduped) — the anti-join
     form of the liveDocs mask; never touches driver memory."""
-    paths = [os.path.join(_deletes_dir(index_dir), f) for f in m.delete_files]
+    paths = [p for f in m.delete_files
+             for p in _delete_entry_paths(index_dir, f)]
     return (spark.read.parquet(*paths)
             .select(F.col("doc_id").cast("long")).distinct())
 
@@ -69,15 +71,29 @@ def deleted_ids_df(spark: SparkSession, index_dir: str, m: Manifest) -> DataFram
 def delete_documents(spark: SparkSession, index_dir: str,
                      doc_ids: Sequence[int] | DataFrame) -> Manifest:
     """Tombstone ``doc_ids`` (list or a DataFrame with a doc_id column)
-    and commit a new manifest generation listing the delete file."""
+    and commit a new manifest generation listing the delete file.
+
+    A DataFrame above ``DELETED_DRIVER_CAP`` rows is written
+    DISTRIBUTED (``df.write.parquet`` into a directory entry — the
+    read surfaces accept file or directory names), so a web-scale
+    delete set never passes through driver memory on EITHER the write
+    or the read path (the read side already anti-joins above the cap)."""
     m = read_manifest(index_dir)
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {index_dir}")
     name = f"del-{m.gen + 1:06d}.parquet"
     ddir = _deletes_dir(index_dir)
     os.makedirs(ddir, exist_ok=True)
+    tmp = os.path.join(ddir, name + ".inprogress")
     if isinstance(doc_ids, DataFrame):
         ids_df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        n = ids_df.count()
+        if n > DELETED_DRIVER_CAP:
+            # directory entry: atomic via the same rename discipline
+            # (Spark writes tmp dir + _SUCCESS, then one os.replace)
+            ids_df.write.mode("overwrite").parquet(tmp)
+            os.replace(tmp, os.path.join(ddir, name))
+            return _commit_delete(index_dir, m, name)
         pdf = ids_df.toPandas()
     else:
         import pandas as pd
@@ -86,12 +102,15 @@ def delete_documents(spark: SparkSession, index_dir: str,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tmp = os.path.join(ddir, name + ".inprogress")
     pq.write_table(
         pa.table({"doc_id": pa.array(pdf["doc_id"].astype("int64"), pa.int64())}),
         tmp,
     )
     os.replace(tmp, os.path.join(ddir, name))
+    return _commit_delete(index_dir, m, name)
+
+
+def _commit_delete(index_dir: str, m: Manifest, name: str) -> Manifest:
     out = Manifest(
         gen=m.gen + 1, docs_per_seg=m.docs_per_seg, analyzer=m.analyzer,
         field=m.field, segments=m.segments,
@@ -99,6 +118,18 @@ def delete_documents(spark: SparkSession, index_dir: str,
     )
     commit_manifest(index_dir, out)
     return out
+
+
+def _delete_entry_paths(index_dir: str, f: str) -> list[str]:
+    """A manifest delete entry is a single parquet FILE (driver-written)
+    or a DIRECTORY of part files (distributed write) — return the
+    concrete parquet paths either way."""
+    p = os.path.join(_deletes_dir(index_dir), f)
+    if os.path.isdir(p):
+        return sorted(
+            os.path.join(p, n) for n in os.listdir(p) if n.endswith(".parquet")
+        )
+    return [p]
 
 
 def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> Manifest:
@@ -128,8 +159,6 @@ def update_documents(spark: SparkSession, index_dir: str,
     the stale rows (Lucene's single-commit atomicity traded for two
     idempotent commits — the same replay-to-repair contract the
     streaming sink uses)."""
-    from pyspark.sql import Window
-
     from .build import build_index
     from .search import IndexReader
 
@@ -146,12 +175,46 @@ def update_documents(spark: SparkSession, index_dir: str,
     # would clobber the segment parquet)
     next_id = max((s.get("doc_hi", s["doc_base"] + s["n_docs"])
                    for s in m.segments), default=0)
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
-    with_ids = new_rows.withColumn(
-        "doc_id", (F.row_number().over(w) + F.lit(next_id - 1)).cast("long"))
-    build_index(spark, with_ids, index_dir, docs_per_seg=m.docs_per_seg,
-                analyzer=m.analyzer, resume=True)
+    with_ids, unpersist = allocate_doc_ids(spark, new_rows, key_cols, next_id)
+    try:
+        build_index(spark, with_ids, index_dir, docs_per_seg=m.docs_per_seg,
+                    analyzer=m.analyzer, field_name=m.field, resume=True)
+    finally:
+        unpersist()
     return delete_documents(spark, index_dir, old_ids)
+
+
+def allocate_doc_ids(spark: SparkSession, new_rows: DataFrame,
+                     key_cols: Sequence[str], next_id: int):
+    """Contiguous doc_ids = ``next_id`` + global rank by ``key_cols``,
+    computed WITHOUT a global single-partition window: range-partition
+    the batch by key (so partition p holds a contiguous key range),
+    count per partition, then per-partition row_number + cumulative
+    offset — identical ids, but a 100M-row replacement batch ranks
+    across all tasks instead of serializing through one. The persist
+    pins the sampled range boundaries so the count pass and the rank
+    pass agree; returns (df_with_ids, unpersist_fn) — call the latter
+    after the downstream action."""
+    from pyspark.sql import Window
+
+    nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        200))
+    ranged = (new_rows.repartitionByRange(nparts, *key_cols)
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    cnts = dict(ranged.groupBy("__pid").count().collect())
+    offs, acc = {}, next_id
+    for p in range(nparts):
+        offs[p] = acc
+        acc += cnts.get(p, 0)
+    omap = F.create_map(
+        *[x for p, o in offs.items() for x in (F.lit(p), F.lit(o))])
+    wp = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in key_cols])
+    with_ids = (ranged.withColumn(
+        "doc_id",
+        (F.row_number().over(wp) - 1 + omap[F.col("__pid")]).cast("long"))
+        .drop("__pid"))
+    return with_ids, ranged.unpersist
 
 
 def load_deleted_ids(index_dir: str, m: Manifest):
@@ -163,7 +226,8 @@ def load_deleted_ids(index_dir: str, m: Manifest):
     import pyarrow.parquet as pq
 
     parts = [
-        pq.read_table(os.path.join(_deletes_dir(index_dir), f))["doc_id"].to_numpy()
+        pq.read_table(p)["doc_id"].to_numpy()
         for f in m.delete_files
+        for p in _delete_entry_paths(index_dir, f)
     ]
     return np.unique(np.concatenate(parts)).astype(np.int64)

@@ -110,10 +110,26 @@ def ivf_build(df: DataFrame, path: str, n_clusters: int = 8, iters: int = 3,
     centroids = kmeans_fit(df, n_clusters, iters, vec_col, id_col)
     assigned = kmeans_assign(df, centroids, vec_col, id_col)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
-    # underscore-prefixed: ignored by Spark/DuckDB directory listings
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
+    # underscore-prefixed: ignored by Spark/DuckDB directory listings.
+    # Written temp-then-rename AFTER the data (Spark stamps _SUCCESS
+    # first, so completeness is gated on THIS file, not _SUCCESS — see
+    # ivf_complete): a crash between the two can't leave a "complete"
+    # index whose every search dies on the missing centroids sidecar.
+    tmp = os.path.join(path, "_centroids.json.inprogress")
+    with open(tmp, "w") as f:
         json.dump(centroids.tolist(), f)
+    os.replace(tmp, os.path.join(path, "_centroids.json"))
     return centroids
+
+
+def ivf_complete(path: str) -> bool:
+    """True iff the materialized IVF index at ``path`` is fully built:
+    data committed (_SUCCESS) AND the centroids sidecar present — the
+    sidecar is written last, so its existence implies both."""
+    import os
+
+    return (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.exists(os.path.join(path, "_centroids.json")))
 
 
 def ivf_centroids(path: str) -> np.ndarray:

@@ -219,3 +219,60 @@ def test_update_documents_replaces_by_key(spark, corpus, tmp_path):
     # replacement metadata is fetchable
     fetched = rdr.fetch(rdr.search("zzzupdated", k=10)).collect()
     assert {f["path"] for f in fetched} == {r["path"] for r in victims}
+
+
+def test_allocate_doc_ids_distributed_matches_global_rank(spark):
+    """The range-partitioned id allocator (VERDICT r3 #8): a 100k-row
+    batch gets ids == next_id + global rank by key, assigned across
+    MULTIPLE partitions (no single-task serialization)."""
+    from lucene_solr_spark.operators.delete import allocate_doc_ids
+
+    n, base = 100_000, 7_680
+    rows = (spark.range(n).select(
+        F.concat(F.lit("repo-"), (F.col("id") * 2654435761 % 997).cast("string"))
+        .alias("repo"),
+        F.concat(F.lit("f/"), ((F.col("id") * 40503) % 100_000_000).cast("string"),
+                 F.lit(".txt")).alias("path")))
+    with_ids, unpersist = allocate_doc_ids(spark, rows, ("repo", "path"), base)
+    try:
+        got = with_ids.orderBy("doc_id").collect()
+    finally:
+        unpersist()
+    assert len(got) == n
+    ids = [r["doc_id"] for r in got]
+    assert ids == list(range(base, base + n))       # contiguous from next_id
+    keys = [(r["repo"], r["path"]) for r in got]
+    assert keys == sorted(keys)                     # id order == global key order
+    # and the assignment really fanned out over >1 range partition
+    nparts = (rows.repartitionByRange(
+        max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 200)),
+        "repo", "path")
+        .select(F.spark_partition_id().alias("p")).distinct().count())
+    assert nparts > 1
+
+
+def test_distributed_delete_write_path(spark, corpus, tmp_path, monkeypatch):
+    """Above DELETED_DRIVER_CAP the tombstones are WRITTEN distributed
+    (directory entry) — and every read surface (row count, numpy ids,
+    anti-join df, query masking) accepts the directory form."""
+    import os
+
+    from lucene_solr_spark.operators import delete as del_mod
+    from lucene_solr_spark.operators.delete import (
+        count_deleted_rows, deleted_ids_df, load_deleted_ids)
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus, d, docs_per_seg=64)
+    rdr0 = IndexReader(spark, d)
+    victims = rdr0.termfreq("spark").orderBy("doc_id").limit(40)
+    victim_ids = {r["doc_id"] for r in victims.collect()}
+
+    monkeypatch.setattr(del_mod, "DELETED_DRIVER_CAP", 10)
+    m = delete_documents(spark, d, victims.select("doc_id"))
+    entry = os.path.join(d, "deletes", m.delete_files[-1])
+    assert os.path.isdir(entry)                     # distributed directory form
+    assert count_deleted_rows(d, m) == len(victim_ids)
+    assert set(load_deleted_ids(d, m).tolist()) == victim_ids
+    assert {r["doc_id"] for r in deleted_ids_df(spark, d, m).collect()} == victim_ids
+    rdr = IndexReader(spark, d)                     # over-cap -> anti-join mask
+    assert rdr.count("spark") == rdr0.count("spark") - len(victim_ids)

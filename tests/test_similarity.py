@@ -154,3 +154,30 @@ def test_ivf_partition_pruning_reads_probed_lists_only(spark, tmp_path):
     # as a post-scan data filter
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "cluster" in pf
+
+
+def test_ivf_build_atomic_completeness_gate(spark, tmp_path):
+    """ADVICE r3 #4: _SUCCESS alone must NOT mark an IVF index complete
+    — a crash between the data write and the centroids dump leaves
+    _SUCCESS present but every search raising on the missing sidecar.
+    ivf_complete gates on the sidecar (written last, temp+rename)."""
+    import os
+
+    import numpy as np
+
+    from lucene_solr_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    sim.ivf_build(df, path, n_clusters=4, iters=2)
+    assert sim.ivf_complete(path)
+    # simulate the crash window: data committed, sidecar missing
+    os.remove(os.path.join(path, "_centroids.json"))
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not sim.ivf_complete(path)
+    # rebuild through the same entry point repairs it
+    sim.ivf_build(df, path, n_clusters=4, iters=2)
+    assert sim.ivf_complete(path)
+    assert sim.ivf_search(spark, path, rows[0][1], k=3).count() == 3

@@ -7,18 +7,21 @@ scale-path analog over an ``array<float>`` embedding column is k-means
 (the same shape Spark MLlib uses, re-expressed on the DataFrame API so
 it composes with the rest of the engine and stays deterministic):
 
-- init: centroids = the k vectors with the smallest ids (deterministic,
-  no RNG — reproducible across partitionings and resumable);
+- fit: the quantizer trains on a DETERMINISTIC bounded sample (the
+  ``train_n`` lowest-id vectors, FAISS-style coarse-quantizer
+  training) with numpy Lloyd on the driver — init = the k smallest-id
+  vectors, no RNG. Bounded driver cost at any corpus size, and the
+  fit is bit-reproducible anywhere (the DuckDB oracles replay it);
 - assignment: squared-L2 distance to each of the k centroids as pure
   JVM column expressions (zip_with + aggregate, no UDF), argmin with
-  index tie-break;
-- update: mean vector per cluster via posexplode + groupBy(cluster,
-  dim) — a (k x dim)-sized aggregate, collected to the driver (tiny);
-  iterate a FIXED number of rounds (deterministic; convergence is a
+  index tie-break — ``assign_local`` is the bit-identical numpy
+  replica (same left-to-right accumulation order), pinned by test;
+- iterate a FIXED number of rounds (deterministic; convergence is a
   property test, not a stop condition).
 
-At 10^12 rows only (id, cluster) pairs and k x dim aggregates shuffle —
-the vectors themselves never leave their scan tasks.
+At 10^12 rows the sample collect is capped at train_n x dim doubles
+and only (id, cluster) pairs shuffle in assignment — the corpus
+vectors never leave their scan tasks.
 """
 
 from __future__ import annotations
@@ -29,7 +32,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign", "kmeans"]
+__all__ = ["kmeans_assign", "kmeans", "kmeans_fit", "kmeans_fit_local",
+           "assign_local"]
+
+#: quantizer-training sample cap: vectors with the train_n smallest ids
+DEFAULT_TRAIN_SAMPLE = 65_536
 
 
 def _dist2(vec_col: str, centroid: List[float]):
@@ -51,25 +58,57 @@ def kmeans_assign(df: DataFrame, centroids: np.ndarray,
                      cluster.alias("cluster"))
 
 
-def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 5,
-               vec_col: str = "embedding",
-               id_col: str = "vec_id") -> np.ndarray:
-    """Deterministic Lloyd k-means; returns the (k, dim) centroids."""
-    init = (df.orderBy(id_col).limit(k)
-            .select(id_col, vec_col).collect())
-    centroids = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+def _dist2_local(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared L2 of every row of ``mat`` to centroid ``c`` with the
+    SAME left-to-right per-dimension accumulation order as the JVM
+    ``_dist2`` aggregate — IEEE double ops in identical order, so the
+    two engines produce bit-identical distances (and therefore
+    identical argmin assignments)."""
+    acc = np.zeros(len(mat), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        diff = mat[:, d] - c[d]
+        acc = acc + diff * diff
+    return acc
+
+
+def assign_local(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """numpy replica of kmeans_assign: -> cluster index per row
+    (first-min tie-break, matching array_position)."""
+    d = np.stack([_dist2_local(mat, np.asarray(c, dtype=np.float64))
+                  for c in centroids], axis=1)
+    return d.argmin(axis=1)
+
+
+def kmeans_fit_local(mat: np.ndarray, k: int = 4, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd over an in-memory (n, dim) float64 matrix
+    ordered by id: init = first k rows, fixed iterations, empty
+    clusters keep their previous centroid. This is the ONE fit
+    implementation — kmeans_fit feeds it the Spark-collected sample,
+    the DuckDB oracle generator feeds it the pyarrow-read table, and
+    both get bit-identical centroids."""
+    mat = np.asarray(mat, dtype=np.float64)
+    centroids = mat[:k].copy()
     for _ in range(iters):
-        assigned = kmeans_assign(df, centroids, vec_col, id_col)
-        rows = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "v"))
-            .groupBy("cluster", "dim").agg(F.avg("v").alias("m"))
-            .collect()
-        )
-        nxt = centroids.copy()
-        for r in rows:
-            nxt[r["cluster"], r["dim"]] = r["m"]
-        centroids = nxt
+        a = assign_local(mat, centroids)
+        for c in range(len(centroids)):
+            members = mat[a == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
     return centroids
+
+
+def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               train_n: int = DEFAULT_TRAIN_SAMPLE) -> np.ndarray:
+    """Deterministic Lloyd k-means; returns the (k, dim) centroids.
+
+    Trains on the ``train_n`` lowest-id vectors (driver-side numpy —
+    the FAISS coarse-quantizer pattern: bounded sample fit, full-corpus
+    distributed assignment)."""
+    rows = (df.orderBy(id_col).limit(train_n)
+            .select(vec_col).collect())
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return kmeans_fit_local(mat, k, iters)
 
 
 def kmeans(df: DataFrame, k: int = 4, iters: int = 5,

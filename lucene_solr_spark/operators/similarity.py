@@ -208,21 +208,34 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((dim, n_bits)).astype(np.float64)
 
 
+def band_keys_mat(mat: np.ndarray, planes: np.ndarray,
+                  n_bands: int) -> np.ndarray:
+    """-> (n, n_bands) int64 hyperplane-LSH band keys for a (n, dim)
+    matrix — the ONE signature kernel: the mapInPandas UDF and the
+    DuckDB oracle generator both call it, so engine and oracle agree
+    bit-for-bit on bucket membership."""
+    n_bits = planes.shape[1]
+    bits_per_band = n_bits // n_bands
+    signs = (mat.astype(np.float64) @ planes) >= 0  # (n, n_bits)
+    keys = np.zeros((len(mat), n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+        key = np.zeros(len(mat), dtype=np.int64)
+        for j in range(bits_per_band):
+            key = (key << 1) | chunk[:, j].astype(np.int64)
+        keys[:, b] = key
+    return keys
+
+
 def _sig_udf(planes: np.ndarray, n_bands: int, vec_col: str):
     """mapInPandas signature computation: one matmul per Arrow batch."""
-    bits_per_band = planes.shape[1] // n_bands
 
     def compute(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch[vec_col].to_numpy())  # (n, dim)
-        signs = (mat.astype(np.float64) @ planes) >= 0  # (n, n_bits)
-        out = {}
-        for b in range(n_bands):
-            chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
-            key = np.zeros(len(batch), dtype=np.int64)
-            for j in range(bits_per_band):
-                key = (key << 1) | chunk[:, j].astype(np.int64)
-            out[f"band{b}"] = key
-        return pd.DataFrame(out, index=batch.index)
+        keys = band_keys_mat(mat, planes, n_bands)
+        return pd.DataFrame(
+            {f"band{b}": keys[:, b] for b in range(n_bands)},
+            index=batch.index)
 
     return compute
 
@@ -255,15 +268,8 @@ def lsh_bucket_topk(df: DataFrame, qvec: Sequence[float], k: int = 10,
     pruned read instead of a full scan."""
     dim = len(qvec)
     planes = _hyperplanes(dim, n_bits, seed)
-    qsig = (np.asarray(qvec, dtype=np.float64) @ planes) >= 0
-    bits_per_band = n_bits // n_bands
-    qkeys = []
-    for b in range(n_bands):
-        chunk = qsig[b * bits_per_band:(b + 1) * bits_per_band]
-        key = 0
-        for bit in chunk:
-            key = (key << 1) | int(bit)
-        qkeys.append(key)
+    qkeys = [int(k) for k in band_keys_mat(
+        np.asarray([list(qvec)], dtype=np.float64), planes, n_bands)[0]]
 
     banded = _with_bands(df, vec_col, id_col, dim, n_bits, n_bands, seed)
     cond = None

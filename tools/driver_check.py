@@ -47,6 +47,10 @@ def _rows(rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    # the data-dependent ANN oracles are generated for this sf (the
+    # grading driver leaves the default = sf0.01); set BEFORE importing
+    # the entry module, which reads it at import time
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     spark = (
         SparkSession.builder.master("local[8]")

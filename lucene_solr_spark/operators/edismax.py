@@ -57,7 +57,20 @@ def _clauses(query: str) -> List[str]:
 def edismax_search(readers: Dict[str, IndexReader], qf: str | Dict[str, float],
                    query: str, tiebreak: float = 0.0, mm: int = 1,
                    k: int = 10) -> DataFrame:
-    """-> DataFrame(doc_id, score double) top-k under edismax semantics.
+    """-> DataFrame(doc_id, score double) top-k under edismax semantics."""
+    return (
+        edismax_score_all(readers, qf, query, tiebreak, mm)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def edismax_score_all(readers: Dict[str, IndexReader],
+                      qf: str | Dict[str, float], query: str,
+                      tiebreak: float = 0.0, mm: int = 1) -> DataFrame:
+    """-> DataFrame(doc_id, score double): the FULL edismax match set
+    (no top-k) — the /select facade composes this with fq docSet
+    intersection, facets and cursor paging.
 
     ``readers``: field name -> that field's IndexReader (per-field
     index dir == Lucene's per-field postings/norms). Each clause is
@@ -116,6 +129,4 @@ def edismax_search(readers: Dict[str, IndexReader], qf: str | Dict[str, float],
              F.count_distinct("clause").alias("nc"))
         .filter(F.col("nc") >= mm)
         .select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )

@@ -21,6 +21,17 @@ reference's component chain does:
 * ``facet.field``  — per-field value counts over the q+fq match set
   (FacetComponent semantics: facets count the FILTERED result set, not
   the page).
+* ``defType=edismax`` + ``qf``/``tie``/``mm`` — route ``q`` through the
+  edismax scorer (per-field readers via the ``readers`` argument),
+  exactly Solr's query-parser plugin dispatch.
+* ``cursorMark``/``next_cursor_mark`` — deep paging past an opaque
+  cursor (JSON of the last row's sort values; Solr base64s the same
+  payload): strictly-after filter + top-``rows``, never a
+  start+rows-deep global sort.
+* ``hl.fl`` (+ ``hl=true``) — highlighting section over the PAGE docs
+  only, snippets from the ``source`` stored-field DataFrame.
+* ``spellcheck=true`` + ``spellcheck.q`` — DirectSpellChecker
+  suggestions section.
 
 Scale shape: the match set is (doc_id, score) pairs only; fq joins and
 facet joins ship ids, never text. Stats stay delete-blind; tombstones
@@ -46,6 +57,9 @@ class SelectResponse:
     docs: DataFrame                      #: the page (fl columns + score)
     matches: DataFrame                   #: full q+fq match set (doc_id, score)
     facets: Dict[str, DataFrame] = field(default_factory=dict)
+    highlighting: Optional[DataFrame] = None   #: (doc_id, snippets)
+    spellcheck: Optional[DataFrame] = None     #: (term, df, dist)
+    next_cursor_mark: Optional[str] = None     #: opaque cursor for the next page
 
     def num_found(self) -> int:
         return self.matches.count()
@@ -71,12 +85,18 @@ def _match_set(idx, q: str, fqs: Sequence[str]) -> DataFrame:
     return scored
 
 
-def solr_select(idx, params: Dict) -> SelectResponse:
+def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
+                source: Optional[DataFrame] = None) -> SelectResponse:
     """Execute a Solr-style parameter map against an IndexReader.
 
-    Supported keys: ``q`` (required), ``fq`` (str or list), ``sort``,
-    ``start``, ``rows``, ``fl`` (list of stored fields), and
-    ``facet.field`` (str or list)."""
+    Supported keys: ``q`` (required), ``defType`` ('edismax' routes
+    through the edismax scorer using ``readers`` + ``qf``/``tie``/
+    ``mm``), ``fq`` (str or list), ``sort``, ``start``/``rows`` OR
+    ``cursorMark``, ``fl`` (list of stored fields), ``facet.field``
+    (str or list), ``hl.fl`` (+ ``source`` for the stored text), and
+    ``spellcheck``/``spellcheck.q``."""
+    import json
+
     q = params["q"]
     fqs = params.get("fq", [])
     if isinstance(fqs, str):
@@ -86,7 +106,19 @@ def solr_select(idx, params: Dict) -> SelectResponse:
     sort = params.get("sort", "score desc")
     fl = list(params.get("fl", ["doc_id"]))
 
-    matches = _match_set(idx, q, fqs)
+    if params.get("defType") == "edismax":
+        from .edismax import edismax_score_all
+
+        if not readers:
+            raise ValueError("defType=edismax needs the per-field readers map")
+        matches = edismax_score_all(
+            readers, params["qf"], q,
+            tiebreak=float(params.get("tie", 0.0)),
+            mm=int(params.get("mm", 1)))
+        for fq in fqs:
+            matches = matches.join(_fq_ids(idx, fq), "doc_id", "left_semi")
+    else:
+        matches = _match_set(idx, q, fqs)
 
     parts = sort.split()
     sort_field, direction = parts[0], (parts[1] if len(parts) > 1 else "asc")
@@ -94,20 +126,46 @@ def solr_select(idx, params: Dict) -> SelectResponse:
         ordered = matches
         order_cols = [F.desc("score") if direction == "desc" else F.asc("score"),
                       F.asc("doc_id")]
+        sort_col = "score"
     else:
         ordered = matches.join(
             idx.docmeta.select("doc_id", sort_field), "doc_id", "left")
         order_cols = [F.desc(sort_field) if direction == "desc"
                       else F.asc(sort_field), F.asc("doc_id")]
+        sort_col = sort_field
 
-    # one TakeOrderedAndProject over start+rows, page sliced driver-free
+    next_cursor = None
     w = Window.orderBy(*order_cols)
-    page_ids = (
-        ordered.orderBy(*order_cols).limit(start + rows)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > start)
-        .select("doc_id", "score", F.col("_rn").alias("position"))
-    )
+    if "cursorMark" in params:
+        # cursor paging (Solr CursorMark): strictly-after filter on the
+        # (sort value, doc_id) cursor + top-rows — the plan never sorts
+        # start+rows deep, so page 10^6 costs the same as page 1
+        cm = params["cursorMark"]
+        if cm != "*":
+            v, last_id = json.loads(cm)
+            col = F.col(sort_col)
+            past = (col < F.lit(v)) if direction == "desc" else (col > F.lit(v))
+            ordered = ordered.filter(
+                past | ((col == F.lit(v)) & (F.col("doc_id") > last_id)))
+        page_ids = (
+            ordered.orderBy(*order_cols).limit(rows)
+            .withColumn("position", F.row_number().over(w))
+            .select("doc_id", "score",
+                    *([sort_col] if sort_col != "score" else []), "position")
+        )
+        tail = (page_ids.orderBy(F.desc("position")).limit(1)
+                .select(sort_col, "doc_id").collect())
+        next_cursor = (json.dumps([tail[0][0], tail[0][1]]) if tail
+                       else params["cursorMark"])
+        page_ids = page_ids.select("doc_id", "score", "position")
+    else:
+        # one TakeOrderedAndProject over start+rows, page sliced driver-free
+        page_ids = (
+            ordered.orderBy(*order_cols).limit(start + rows)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > start)
+            .select("doc_id", "score", F.col("_rn").alias("position"))
+        )
     want = [c for c in fl if c not in ("doc_id", "score")]
     docs = page_ids
     if want:
@@ -123,4 +181,23 @@ def solr_select(idx, params: Dict) -> SelectResponse:
             idx.docmeta.select("doc_id", ff), "doc_id", "left")
         facets[ff] = sx.facet_field(joined, ff)
 
-    return SelectResponse(docs=docs, matches=matches, facets=facets)
+    highlighting = None
+    hfl = params.get("hl.fl")
+    if hfl and params.get("hl", True):
+        from ..analysis import tokenize
+        from .highlight import highlight
+
+        if source is None:
+            raise ValueError("hl.fl needs the stored-field source DataFrame")
+        terms = tokenize(q, idx.manifest.analyzer)
+        hits = docs.select("doc_id").join(
+            source.select("doc_id", hfl), "doc_id", "left")
+        highlighting = highlight(hits, hfl, terms).select("doc_id", "snippets")
+
+    spellcheck = None
+    if params.get("spellcheck"):
+        spellcheck = idx.suggest_similar(params["spellcheck.q"])
+
+    return SelectResponse(docs=docs, matches=matches, facets=facets,
+                          highlighting=highlighting, spellcheck=spellcheck,
+                          next_cursor_mark=next_cursor)

@@ -75,3 +75,59 @@ def test_fq_on_stored_field(idx):
                              "fq": ["lang:en", "join"], "rows": 20})
     with_join = {r["doc_id"] for r in idx.termfreq("join").collect()}
     assert all(r["doc_id"] in with_join for r in both.docs.collect())
+
+
+def test_cursor_mark_pages_equal_offset_pages(idx):
+    """Walking cursorMark pages reproduces exactly the offset-paged
+    ranking, without ever sorting start+rows deep."""
+    want = [r["doc_id"] for r in
+            solr_select(idx, {"q": "spark OR merge", "rows": 12}).docs.collect()]
+    got, cm = [], "*"
+    for _ in range(3):
+        r = solr_select(idx, {"q": "spark OR merge", "rows": 4,
+                              "cursorMark": cm})
+        page = r.docs.collect()
+        got += [x["doc_id"] for x in page]
+        assert [x["position"] for x in page] == list(range(1, len(page) + 1))
+        cm = r.next_cursor_mark
+    assert got == want
+    # exhausted cursor: empty page, cursor echoes back (Solr contract)
+    far = solr_select(idx, {"q": "spark OR merge", "rows": 10**6,
+                            "cursorMark": "*"})
+    end = solr_select(idx, {"q": "spark OR merge", "rows": 5,
+                            "cursorMark": far.next_cursor_mark})
+    assert end.docs.count() == 0
+    assert end.next_cursor_mark == far.next_cursor_mark
+
+
+def test_highlight_and_spellcheck_sections(idx, spark, sf_dir):
+    """hl.fl produces snippets for page docs from the stored source;
+    spellcheck returns DirectSpellChecker suggestions."""
+    src = (load_source_table(spark, sf_dir)
+           .select("doc_id", F.col("content").alias("text")))
+    r = solr_select(idx, {"q": "spark", "rows": 5, "hl.fl": "text",
+                          "spellcheck": True, "spellcheck.q": "sparc"},
+                    source=src)
+    hl = {x["doc_id"]: x["snippets"] for x in r.highlighting.collect()}
+    page = [x["doc_id"] for x in r.docs.collect()]
+    assert set(hl) == set(page)
+    assert all(any("<em>spark</em>" in s for s in v) for v in hl.values())
+    sugg = r.spellcheck.collect()
+    assert sugg and "spark" in {x["term"] for x in sugg}
+
+
+def test_deftype_edismax_routes_through_edismax_scorer(idx, spark, sf_dir,
+                                                      tmp_path_factory):
+    """defType=edismax through the facade == edismax_search directly."""
+    from lucene_solr_spark.operators.edismax import edismax_search
+
+    readers = {"content": idx}
+    direct = [(r["doc_id"], round(float(r["score"]), 6)) for r in
+              edismax_search(readers, "content", "spark merge",
+                             tiebreak=0.2, mm=1, k=8).collect()]
+    via = solr_select(idx, {"q": "spark merge", "defType": "edismax",
+                            "qf": "content", "tie": 0.2, "mm": 1, "rows": 8},
+                      readers=readers)
+    got = [(r["doc_id"], round(float(r["score"]), 6))
+           for r in via.docs.collect()]
+    assert got == direct

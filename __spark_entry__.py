@@ -842,6 +842,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'count(*), sum(l_quantity)), gt(count(*), 100))',
         {"lineitem": _t(s, sf, "lineitem")},
     )
+    # text-driven timeseries through the SAME parser front door — the
+    # bucketing re-tested through a second path, in the probe-proven
+    # decimal-free shape (day string, counts, exact bigint cents)
+    q["streamexpr_text_timeseries"] = lambda s, sf: sp.parse_stream_expr(
+        'timeseries(events, q="*:*", field=ts, gap="+1DAY", '
+        'count(*), sum(cents))',
+        {"events": _events_ntz(s, sf).withColumn(
+            "cents", F.round(F.col("value") * 100).cast("long"))},
+    ).select(F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+             F.col("count(*)").alias("cnt"),
+             F.col("sum(cents)").alias("sum_cents"))
 
     # ---- JSON Facet API request shape (SURVEY §2.6 FacetRequest):
     # nested spec -> terms facet with per-bucket stats + sub-facet
@@ -1075,6 +1086,7 @@ _WINDOW_ORDER = [
     # never-graded round-3 front doors + misc components (+ the new
     # full-lifecycle facade composition)
     "solr_select_edismax", "solr_select_facet", "streamexpr_text_rollup",
+    "streamexpr_text_timeseries",
     "json_facet_orders", "json_facet_nested", "text_fingerprint_stats",
     "mlt_similar", "suggest_terms",
     # never-graded function-query family
@@ -1530,6 +1542,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts < TIMESTAMP '2024-01-10 00:00:00' + INTERVAL 7 DAY
+        """,
+        "streamexpr_text_timeseries": """
+            SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "graph_gather_nodes": """
             WITH e AS (

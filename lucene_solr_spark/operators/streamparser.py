@@ -21,7 +21,14 @@ Grammar::
 
 Supported functions (each resolves to its streamexpr combinator):
 search, select, sort, top, unique, merge, intersect, complement,
-innerJoin, leftOuterJoin, hashJoin, rollup, having, facet.
+innerJoin, leftOuterJoin, hashJoin, rollup, having, facet,
+timeseries (gap="+1DAY" date-range buckets, optional start/end in Solr
+date-math), parallel (workers=N [, partitionKeys=...] — an EXPLICIT
+repartition: Spark already executes every stage data-parallel, so
+Solr's worker-collection fan-out degenerates to a shuffle hint),
+daemon (batch face: one run of the wrapped expression — the recurring
+face is streaming.daemon_counts), topic (batch face: the matching
+rows; the checkpointed at-least-once face is streaming.topic_stream).
 Aggregate operands: count(*), sum(f), avg(f), min(f), max(f).
 Boolean operands (having): gt/lt/eq(field, value), and(a, b), or(a, b),
 not(a).
@@ -303,7 +310,51 @@ def _eval(c: Call, env: Dict[str, DataFrame]) -> DataFrame:
         df = _q_filter(env[src], str(p.get("q", "*:*")))
         return sx.facet_field(df, str(p["buckets"]),
                               limit=int(str(p.get("limit", 100))))
+    if n == "timeseries":
+        src = c.args[0]
+        if not isinstance(src, str) or src not in env:
+            raise StreamExprError(f"unknown collection {src!r}")
+        df = _q_filter(env[src], str(p.get("q", "*:*")))
+        fld = str(p["field"])
+        for bound, op in (("start", "__ge__"), ("end", "__lt__")):
+            if bound in p:
+                from ..functions.datemath import parse_date_math
+
+                lit = F.lit(parse_date_math(str(p[bound])).isoformat(sep=" ")
+                            ).cast(df.schema[fld].dataType)
+                df = df.filter(getattr(F.col(fld), op)(lit))
+        aggs = _aggs(c) or [F.count(F.lit(1)).alias("count(*)")]
+        return sx.timeseries_stream(df, fld, _gap_interval(str(p["gap"])), *aggs)
+    if n == "parallel":
+        workers = int(str(p.get("workers", "0")))
+        keys = ([f.strip() for f in str(p["partitionKeys"]).split(",")]
+                if "partitionKeys" in p else [])
+        df = inner[0]
+        if workers:
+            df = df.repartition(workers, *[F.col(k) for k in keys]) \
+                if keys else df.repartition(workers)
+        return df
+    if n == "daemon":
+        # batch face of DaemonStream: evaluate the wrapped expression
+        # once; scheduling/recurrence belongs to the streaming module
+        return inner[0]
+    if n == "topic":
+        src = c.args[0]
+        if not isinstance(src, str) or src not in env:
+            raise StreamExprError(f"unknown collection {src!r}")
+        return _q_filter(env[src], str(p.get("q", "*:*")))
     raise StreamExprError(f"unknown stream function {n!r}")
+
+
+_GAP = re.compile(r"^\+?(\d+)(DAY|HOUR|MINUTE|SECOND)S?$", re.I)
+
+
+def _gap_interval(gap: str) -> str:
+    """Solr timeseries gap ('+1DAY') -> Spark window interval ('1 day')."""
+    m = _GAP.match(gap.strip())
+    if not m:
+        raise StreamExprError(f"unsupported gap {gap!r}")
+    return f"{m.group(1)} {m.group(2).lower()}"
 
 
 def parse_stream_expr(text: str, tables: Dict[str, DataFrame]) -> DataFrame:

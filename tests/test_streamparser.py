@@ -78,3 +78,62 @@ def test_errors(tables):
     ]:
         with pytest.raises(StreamExprError):
             parse_stream_expr(bad, tables)
+
+
+def test_text_timeseries_with_datemath_bounds(spark, sf_dir):
+    """timeseries() text form == the timeseries_stream combinator, with
+    Solr date-math start/end bounds applied [start, end)."""
+    from lucene_solr_spark.operators import streamexpr as sx
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts", "value"))
+    got = parse_stream_expr(
+        'timeseries(events, q="*:*", field=ts, gap="+1DAY", '
+        'start="2024-01-10T06:30:00Z/DAY", '
+        'end="2024-01-10T06:30:00Z/DAY+7DAYS", count(*))',
+        {"events": ev})
+    from lucene_solr_spark.functions.datemath import parse_date_math
+    lo = parse_date_math("2024-01-10T06:30:00Z/DAY").isoformat(sep=" ")
+    hi = parse_date_math("2024-01-10T06:30:00Z/DAY+7DAYS").isoformat(sep=" ")
+    want = sx.timeseries_stream(
+        ev.filter((F.col("ts") >= F.lit(lo).cast(ev.schema["ts"].dataType))
+                  & (F.col("ts") < F.lit(hi).cast(ev.schema["ts"].dataType))),
+        "ts", "1 day", F.count(F.lit(1)).alias("count(*)"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 7
+
+
+def test_text_parallel_daemon_topic(spark, sf_dir):
+    """parallel() is an explicit repartition (row-preserving), daemon()
+    evaluates its wrapped expression once, topic() returns the q-matching
+    rows — the batch faces of the Solr worker/daemon/pub-sub streams."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = parse_stream_expr(
+        'search(lineitem, q="l_quantity:[45 TO *]", fl="l_orderkey,l_quantity")',
+        {"lineitem": li})
+    par = parse_stream_expr(
+        'parallel(search(lineitem, q="l_quantity:[45 TO *]", '
+        'fl="l_orderkey,l_quantity"), workers=6, partitionKeys=l_orderkey)',
+        {"lineitem": li})
+    assert par.rdd.getNumPartitions() == 6
+    assert sorted(map(tuple, par.collect())) == sorted(map(tuple, base.collect()))
+    dmn = parse_stream_expr(
+        'daemon(rollup(search(lineitem, q="*:*", fl="l_returnflag,l_quantity", '
+        'sort="l_returnflag asc"), over="l_returnflag", count(*)), '
+        'id=d1, runInterval=1000)',
+        {"lineitem": li})
+    assert {r["l_returnflag"] for r in dmn.collect()} == \
+        {r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()}
+    top = parse_stream_expr('topic(lineitem, q="l_linestatus:F")',
+                            {"lineitem": li})
+    assert top.count() == li.filter(F.col("l_linestatus") == "F").count()
+
+
+def test_gap_interval_parse():
+    from lucene_solr_spark.operators.streamparser import (StreamExprError,
+                                                          _gap_interval)
+    assert _gap_interval("+1DAY") == "1 day"
+    assert _gap_interval("12HOURS") == "12 hour"
+    assert _gap_interval("+30MINUTES") == "30 minute"
+    with pytest.raises(StreamExprError):
+        _gap_interval("+1MONTH")

@@ -379,7 +379,6 @@ def merge_many(spark: SparkSession, index_dir: str,
     all_srcs = sorted((by_id[s] for s in flat), key=lambda s: s["doc_base"])
     seg_order = {s["seg"]: i for i, s in enumerate(all_srcs)}
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tmap = F.create_map(
         *[F.lit(x) for pair in seg_to_target.items() for x in pair])
     postings = (
@@ -425,9 +424,13 @@ def merge_many(spark: SparkSession, index_dir: str,
         merged.withColumn("shard", F.row_number().over(w) - F.lit(1))
         .drop("first_doc_key")
     )
-    merged.sortWithinPartitions("term").write.mode("overwrite").partitionBy("seg").parquet(
-        f"{index_dir}/postings"
-    )
+    # dynamic overwrite scoped to THIS write (only the source/target seg
+    # partitions are replaced; a session-global conf would leak — it
+    # also suppresses the root _SUCCESS marker for every later
+    # partitioned write in the session, e.g. ivf_build's)
+    merged.sortWithinPartitions("term").write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("seg").parquet(f"{index_dir}/postings")
 
     docmeta = (
         spark.read.parquet(f"{index_dir}/docmeta")
@@ -438,7 +441,8 @@ def merge_many(spark: SparkSession, index_dir: str,
             [(int(x),) for x in deleted_arr], "doc_id long")
         docmeta = docmeta.join(F.broadcast(dels_df), "doc_id", "left_anti")
     docmeta.withColumn("seg", tmap[F.col("seg")].cast("int")) \
-        .write.mode("overwrite").partitionBy("seg").parquet(f"{index_dir}/docmeta")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("seg").parquet(f"{index_dir}/docmeta")
 
     stats_rows = {
         r["seg"]: r for r in spark.read.parquet(f"{index_dir}/postings")

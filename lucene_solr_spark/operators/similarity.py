@@ -124,12 +124,19 @@ def ivf_build(df: DataFrame, path: str, n_clusters: int = 8, iters: int = 3,
 
 def ivf_complete(path: str) -> bool:
     """True iff the materialized IVF index at ``path`` is fully built:
-    data committed (_SUCCESS) AND the centroids sidecar present — the
-    sidecar is written last, so its existence implies both."""
+    at least one cluster partition committed AND the centroids sidecar
+    present. The sidecar is written LAST (temp+rename), so its
+    existence implies the data write finished. Deliberately does not
+    require ``_SUCCESS``: sessions running with
+    ``partitionOverwriteMode=dynamic`` suppress the root marker."""
     import os
 
-    return (os.path.exists(os.path.join(path, "_SUCCESS"))
-            and os.path.exists(os.path.join(path, "_centroids.json")))
+    if not os.path.exists(os.path.join(path, "_centroids.json")):
+        return False
+    try:
+        return any(e.startswith("cluster=") for e in os.listdir(path))
+    except FileNotFoundError:
+        return False
 
 
 def ivf_centroids(path: str) -> np.ndarray:

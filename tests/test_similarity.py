@@ -181,3 +181,13 @@ def test_ivf_build_atomic_completeness_gate(spark, tmp_path):
     sim.ivf_build(df, path, n_clusters=4, iters=2)
     assert sim.ivf_complete(path)
     assert sim.ivf_search(spark, path, rows[0][1], k=3).count() == 3
+    # a session running with dynamic partition-overwrite suppresses the
+    # root _SUCCESS marker — completeness must not depend on it (the
+    # suite hit this for real when merge_many leaked the conf globally)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        path2 = str(tmp_path / "ivf_dyn")
+        sim.ivf_build(df, path2, n_clusters=4, iters=2)
+        assert sim.ivf_complete(path2)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -981,7 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _index_for(s, sf).fetch(_index_for(s, sf).search("content:spark", k=5))
         .join(load_source_table(s, sf).select("doc_id", "content"), "doc_id"),
         "content", ["spark"],
-    ).select("doc_id", F.size("snippets").alias("n_snippets"),
+    ).select("doc_id", F.size("snippets").cast("long").alias("n_snippets"),
              F.element_at("snippets", 1).alias("first_snippet"))
 
     # ---- function queries (SURVEY.md §2.10 ValueSource library)
@@ -1089,8 +1089,12 @@ _WINDOW_ORDER = [
     "streamexpr_text_timeseries",
     "json_facet_orders", "json_facet_nested", "text_fingerprint_stats",
     "mlt_similar", "suggest_terms",
-    # never-graded function-query family
-    "fq_termfreq", "fq_map_recip_linear", "fq_geofilt",
+    # highlight — newly ORACLED this round (snippet construction
+    # replayed in DuckDB; was the last non-multimodal rows-only entry)
+    "highlight_hits",
+    # never-graded function-query family (map/recip/linear rotated out
+    # for highlight_hits — pure-arithmetic, replica-checked)
+    "fq_termfreq", "fq_geofilt",
     # dedup entry whose kernel gains the estimated-Jaccard prefilter
     "dedup_minhash_lsh",
     # ANN / clustering family — newly ORACLED this round (replayed
@@ -1119,6 +1123,87 @@ def _ltr_sql(term: str, w1: float, w2: float, w3: float,
       WHERE c.r <= {cand})
     SELECT doc_id, ROUND({model}, 4) AS ltr_score_r, ROUND(bm25, 4) AS bm25_r
     FROM feats ORDER BY {model} DESC, doc_id LIMIT {k}"""
+
+
+def _highlight_sql(term: str, k: int = 5) -> str:
+    """UnifiedHighlighter oracle (operators/highlight.highlight_text
+    replayed in DuckDB): float32 BM25 top-``k`` hits for ``term``, then
+    per-hit snippet construction — term char-offset spans (exact
+    because the corpus is single-spaced ``[a-z ]`` words, so offsets
+    are list-slice arithmetic), gap<=window passage grouping,
+    (-count, start) passage ranking, half-window expansion snapped to
+    whitespace, and <pre>span<post> tag assembly. Defaults (window,
+    max_passages, tags) are read FROM the shared highlighter so the
+    oracle is generated by construction, never hand-synced."""
+    import inspect
+
+    from lucene_solr_spark.operators.highlight import highlight_text
+
+    sig = inspect.signature(highlight_text).parameters
+    w, maxp = sig["window"].default, sig["max_passages"].default
+    pre, post = sig["pre"].default, sig["post"].default
+    half, tl = w // 2, len(term)
+    bm25 = _bm25_sql_disjunction([(term, 1.0)], k=k)
+    return f"""
+    WITH hits AS (SELECT doc_id FROM ({bm25})),
+    docs AS (
+      SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM hits)),
+    sp AS (
+      SELECT doc_id, text,
+        [CASE WHEN i = 1 THEN 0
+              ELSE length(array_to_string(toks[1:i-1], ' ')) + 1 END
+         for i in range(1, len(toks)+1) if toks[i] = '{term}'] AS starts
+      FROM docs),
+    sp2 AS (
+      SELECT doc_id, text, starts, [s + {tl} for s in starts] AS ends,
+             len(starts) AS n FROM sp),
+    gid AS (
+      SELECT doc_id, text, starts, ends, n,
+        [1 + len([b for b in range(2, j+1) if starts[b] - ends[b-1] > {w}])
+         for j in range(1, n+1)] AS gids
+      FROM sp2 WHERE n > 0),
+    grp AS (
+      SELECT doc_id, text, starts, ends, gids,
+        [len([x for x in gids if x = g])
+           for g in range(1, len(list_distinct(gids))+1)] AS gcnt,
+        [list_min([starts[j] for j in range(1, len(gids)+1) if gids[j] = g])
+           for g in range(1, len(list_distinct(gids))+1)] AS gfirst,
+        [list_max([ends[j] for j in range(1, len(gids)+1) if gids[j] = g])
+           for g in range(1, len(list_distinct(gids))+1)] AS glast
+      FROM gid),
+    best AS (
+      SELECT doc_id, text, starts, ends, gids, gcnt, gfirst, glast,
+        len(gcnt) AS n_groups,
+        list_indexof(
+          [(-gcnt[g], gfirst[g]) for g in range(1, len(gcnt)+1)],
+          list_min([(-gcnt[g], gfirst[g]) for g in range(1, len(gcnt)+1)])) AS bg
+      FROM grp),
+    rend AS (
+      SELECT doc_id, text, n_groups,
+        [starts[j] for j in range(1, len(gids)+1) if gids[j] = bg] AS bs,
+        [ends[j]   for j in range(1, len(gids)+1) if gids[j] = bg] AS be,
+        greatest(0, gfirst[bg] - {half}) AS lo0,
+        least(length(text), glast[bg] + {half}) AS hi0
+      FROM best),
+    bounds AS (
+      SELECT doc_id, text, n_groups, bs, be,
+        CASE WHEN strpos(reverse(substr(text, 1, lo0)), ' ') = 0 THEN 0
+             ELSE lo0 - strpos(reverse(substr(text, 1, lo0)), ' ') + 1 END AS lo,
+        CASE WHEN strpos(substr(text, hi0 + 1), ' ') = 0 THEN length(text)
+             ELSE hi0 + strpos(substr(text, hi0 + 1), ' ') - 1 END AS hi
+      FROM rend),
+    snip AS (
+      SELECT doc_id, least({maxp}, n_groups) AS n_snippets,
+        substr(text, lo + 1, bs[1] - lo) ||
+        array_to_string(
+          ['{pre}' || substr(text, bs[j]+1, be[j]-bs[j]) || '{post}' ||
+           substr(text, be[j]+1,
+                  (CASE WHEN j < len(bs) THEN bs[j+1] ELSE hi END) - be[j])
+           for j in range(1, len(bs)+1)], '') AS first_snippet
+      FROM bounds)
+    SELECT h.doc_id, COALESCE(s.n_snippets, 0) AS n_snippets, s.first_snippet
+    FROM hits h LEFT JOIN snip s USING (doc_id)"""
 
 
 def _edismax_readers(s: SparkSession, sf: str):
@@ -1676,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_similar": _bm25_sql_disjunction(
             [(t, 1.0) for t in sorted(["spark", "merge", "vector", "batch",
                                        "window"])]),
+        "highlight_hits": _highlight_sql("spark", k=5),
         "funcparser_recip": """
             SELECT o_orderkey,
                    ROUND(1.0/(0.00001*ABS(o_totalprice-250000.0)+1.0), 9) AS decay_boost,

@@ -47,6 +47,35 @@ def test_highlight_df(reader):
         assert r["snippets"] and all("<em>" in s for s in r["snippets"])
 
 
+def test_highlight_sql_oracle_matches_kernel(sf_dir):
+    """The DuckDB snippet oracle (__spark_entry__._highlight_sql) must
+    replay highlight_text EXACTLY — n_snippets and the rendered first
+    snippet — over EVERY doc of the corpus, not just the top-k hits
+    (the snippet CTEs are driven here without the BM25 hit filter)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = entry._highlight_sql("spark", k=5)
+    # swap the hits CTE for the whole corpus: exercise every doc
+    body = sql.split("docs AS (", 1)[1]
+    all_sql = (
+        "WITH hits AS (SELECT doc_id FROM documents),\n    docs AS ("
+        + body
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    got = {r[0]: (r[1], r[2]) for r in con.execute(all_sql).fetchall()}
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    assert len(got) == len(docs)
+    for did, text in docs:
+        snips = highlight_text(text, ["spark"])
+        want = (len(snips), snips[0] if snips else None)
+        assert got[did] == want, (did, want, got[did])
+
+
 def test_more_like_this(reader):
     idx, corpus = reader
     seed = corpus.filter(F.col("doc_id") == 7).collect()[0]["content"]

@@ -1017,6 +1017,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("d"),
     ).filter(F.col("d") <= 2000.0).select(
         "c_custkey", F.round("d", 3).alias("dist_km"))
+    # query($q): the nested-query score as a value source (SURVEY §2.10
+    # "query($q)/boost" row) — Solr's {!boost b=f(x)} q is exactly
+    # product(query($q), f(x)). score_all supplies (doc_id, float32
+    # score) for EVERY matching doc; non-matches take query()'s default
+    q["fq_query_boost"] = lambda s, sf: fp.apply_function_query(
+        _docs(s, sf).select("doc_id"),
+        "product(query($qq), recip(doc_id, 0.001, 1, 1))",
+        subqueries={"qq": _index_for(s, sf).score_all("content:spark")},
+        out_col="boosted",
+    ).orderBy(F.desc("boosted"), "doc_id").limit(20).select(
+        "doc_id", F.round("boosted", 6).alias("boosted"))
     q["fq_strdist"] = lambda s, sf: _t(s, sf, "customer").select(
         "c_custkey",
         F.round(vs.strdist_levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")), 6).alias("sim"),
@@ -1762,6 +1773,22 @@ def oracle_sql() -> dict[str, str]:
             [(t, 1.0) for t in sorted(["spark", "merge", "vector", "batch",
                                        "window"])]),
         "highlight_hits": _highlight_sql("spark", k=5),
+        # query($q) value source: float32 BM25 score of the nested
+        # query (s0 from the shared prelude), double boost combine in
+        # the same order as product(query($qq), recip(doc_id,...))
+        "fq_query_boost": _BM25_PRELUDE.format(
+            ranges=_byte4_ranges(), chain="tk0",
+            src="SELECT doc_id, text FROM documents")
+        + _bm25_term_ctes(0, "spark", 1.0) + """,
+            scores AS (SELECT doc_id, sc FROM s0)
+            SELECT doc_id, ROUND(boosted, 6) AS boosted FROM (
+              SELECT d.doc_id,
+                     CAST(COALESCE(s.sc, 0) AS DOUBLE)
+                     * (1.0 / (0.001 * CAST(d.doc_id AS DOUBLE) + 1.0))
+                       AS boosted
+              FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+            ) ORDER BY boosted DESC, doc_id LIMIT 20
+        """,
         "funcparser_recip": """
             SELECT o_orderkey,
                    ROUND(1.0/(0.00001*ABS(o_totalprice-250000.0)+1.0), 9) AS decay_boost,

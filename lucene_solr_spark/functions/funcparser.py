@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from . import valuesource as vs
 
-__all__ = ["parse_function_query", "FunctionQueryError"]
+__all__ = ["parse_function_query", "apply_function_query",
+           "FunctionQueryError"]
 
 
 class FunctionQueryError(ValueError):
@@ -40,6 +41,7 @@ class FunctionQueryError(ValueError):
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?![\w.]))"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
+    r"|(?P<param>\$[A-Za-z_][A-Za-z0-9_.]*)"
     r"|(?P<str>'[^']*'|\"[^\"]*\")"
     r"|(?P<punc>[(),]))"
 )
@@ -57,6 +59,8 @@ def _tokenize(text: str) -> List[tuple]:
             out.append(("num", float(m.group("num"))))
         elif m.group("name") is not None:
             out.append(("name", m.group("name")))
+        elif m.group("param") is not None:
+            out.append(("param", m.group("param")[1:]))
         elif m.group("str") is not None:
             out.append(("str", m.group("str")[1:-1]))
         else:
@@ -83,11 +87,15 @@ def _as_float(x: Node, fn: str) -> float:
 
 
 class _Parser:
-    def __init__(self, text: str, df: Optional[DataFrame], now: Optional[datetime]):
+    def __init__(self, text: str, df: Optional[DataFrame], now: Optional[datetime],
+                 subqueries: Optional[dict] = None):
         self.toks = _tokenize(text)
         self.i = 0
         self.df = df
         self.now = now
+        self.subqueries = subqueries or {}
+        #: subquery param -> joined score column alias (filled by query())
+        self.used: dict = {}
 
     def peek(self):
         return self.toks[self.i]
@@ -114,6 +122,9 @@ class _Parser:
             return v
         if kind == "str":
             return v
+        if kind == "param":
+            # only meaningful as query($x)'s argument; apply() unwraps
+            return ("param", v)
         if kind == "name":
             if self.peek() == ("punc", "("):
                 self.next()
@@ -135,6 +146,25 @@ class _Parser:
     # ---- registry (ValueSourceParser.java's addParser table)
     def apply(self, name: str, a: List[Node]) -> Node:
         n = name.lower()
+        if n == "query":
+            # query($q[, default]): the subquery's score for each doc, a
+            # default (Solr: 0) for non-matching docs — `[U] solr/core/
+            # .../search/ValueSourceParser.java :: QueryValueSource` via
+            # FunctionQParser.parseNestedQuery. The caller supplies the
+            # scored DataFrame; apply_function_query joins it on doc_id.
+            if not a or not (isinstance(a[0], tuple) and a[0][0] == "param"):
+                raise FunctionQueryError("query() takes a $param reference")
+            pname = a[0][1]
+            if pname not in self.subqueries:
+                raise FunctionQueryError(
+                    f"query(${pname}) has no bound subquery — pass "
+                    f"subqueries={{{pname!r}: <scored DataFrame>}}")
+            default = _as_float(a[1], n) if len(a) > 1 else 0.0
+            alias = f"__fq_{pname}"
+            self.used[pname] = alias
+            return F.coalesce(F.col(alias), F.lit(default))
+        if any(isinstance(x, tuple) for x in a):
+            raise FunctionQueryError("$param is only valid inside query()")
         cols = [_as_col(x) for x in a]
         if n in ("sum", "add"):
             out = cols[0]
@@ -213,6 +243,36 @@ def parse_function_query(text: str, df: Optional[DataFrame] = None,
     """Solr function-query text -> Spark Column.
 
     ``df`` is required for corpus-global sources (scale); ``now``
-    anchors NOW (deterministic, as a TIMESTAMP_NTZ literal).
+    anchors NOW (deterministic, as a TIMESTAMP_NTZ literal). For
+    ``query($q)`` use :func:`apply_function_query`, which performs the
+    required score joins.
     """
     return _as_col(_Parser(text, df, now).parse())
+
+
+def apply_function_query(df: DataFrame, text: str,
+                         subqueries: Optional[dict] = None,
+                         out_col: str = "fq_score", key: str = "doc_id",
+                         now: Optional[datetime] = None) -> DataFrame:
+    """Evaluate a function query that may embed ``query($q)`` /
+    ``boost``-style subquery scores (SURVEY.md §2.10 row "query($q),
+    boost"; `[U] solr/core/.../search/ValueSourceParser.java ::
+    QueryValueSource`).
+
+    ``subqueries`` maps param name -> scored DataFrame ``(key, score)``
+    (e.g. ``IndexReader.score_all(...)``). Each referenced subquery is
+    LEFT-joined on ``key`` (a keyed equi-join Catalyst/AQE is free to
+    broadcast when the match set is small; at 10^12 docs both sides
+    shuffle on the same key once) and non-matching docs fall back to
+    the query() default (Solr: 0). Returns ``df`` + ``out_col``.
+    Solr's ``{!boost b=f(x)} q`` is the composition
+    ``product(query($q), f(x))``.
+    """
+    p = _Parser(text, df, now, subqueries)
+    col = _as_col(p.parse())
+    for pname, alias in p.used.items():
+        sub = subqueries[pname]
+        score_col = next(c for c in sub.columns if c != key)
+        df = df.join(sub.select(key, F.col(score_col).alias(alias)),
+                     key, "left")
+    return df.withColumn(out_col, col).drop(*p.used.values())

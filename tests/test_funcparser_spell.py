@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.functions.funcparser import (
-    FunctionQueryError, parse_function_query)
+    FunctionQueryError, apply_function_query, parse_function_query)
 from lucene_solr_spark.operators.build import build_index
 from lucene_solr_spark.operators.search import IndexReader
 from lucene_solr_spark.sources import load_source_table
@@ -50,6 +50,34 @@ def test_map_min_max_if_def(nums):
     assert _vals(nums, c)[2] == 99.0
     c = parse_function_query("if(exists(x),1,0)")
     assert _vals(nums, c) == [1, 1, 0]
+
+
+def test_query_subquery_scores(spark, nums):
+    """query($q[, default]) joins the bound scored DataFrame on the key
+    and falls back to the default for non-matching docs (Solr
+    QueryValueSource); {!boost} is product(query($q), f(x))."""
+    scores = spark.createDataFrame([(1, 2.5), (2, 4.0)],
+                                   "doc_id long, score double")
+    out = apply_function_query(
+        nums.withColumnRenamed("id", "doc_id"),
+        "product(query($qq), linear(doc_id, 10, 0))",
+        subqueries={"qq": scores}, out_col="b")
+    got = {r["doc_id"]: r["b"] for r in out.collect()}
+    assert got == {1: 2.5 * 10, 2: 4.0 * 20, 3: 0.0}
+    # explicit default replaces the 0 fallback
+    out2 = apply_function_query(
+        nums.withColumnRenamed("id", "doc_id"), "query($qq, 7)",
+        subqueries={"qq": scores}, out_col="b")
+    assert {r["doc_id"]: r["b"] for r in out2.collect()}[3] == 7.0
+
+
+def test_query_param_errors(nums):
+    with pytest.raises(FunctionQueryError, match="no bound subquery"):
+        apply_function_query(nums, "query($nope)", subqueries={})
+    with pytest.raises(FunctionQueryError, match="only valid inside"):
+        apply_function_query(nums, "sum($loose, 1)", subqueries={})
+    with pytest.raises(FunctionQueryError, match="param reference"):
+        apply_function_query(nums, "query(x)", subqueries={})
 
 
 def test_scale_needs_df(nums):

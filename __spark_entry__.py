@@ -1017,6 +1017,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("d"),
     ).filter(F.col("d") <= 2000.0).select(
         "c_custkey", F.round("d", 3).alias("dist_km"))
+    # {!bbox}: rectangle-containing-the-circle filter — the box is four
+    # floats computed at query build time (spatial4j
+    # calcBoxByDistFromPtDEG), the row filter is pushdown-able ranges
+    q["fq_bbox"] = lambda s, sf: _t(s, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 90 + F.lit(0.5)).alias("lat"),
+        ((F.col("c_custkey") * 7 % 360) - 180 + F.lit(0.5)).alias("lon"),
+    ).filter(vs.bbox_predicate(F.col("lat"), F.col("lon"),
+                               48.2, 16.37, 2000.0))
     # query($q): the nested-query score as a value source (SURVEY §2.10
     # "query($q)/boost" row) — Solr's {!boost b=f(x)} q is exactly
     # product(query($q), f(x)). score_all supplies (doc_id, float32
@@ -1215,6 +1224,23 @@ def _highlight_sql(term: str, k: int = 5) -> str:
       FROM bounds)
     SELECT h.doc_id, COALESCE(s.n_snippets, 0) AS n_snippets, s.first_snippet
     FROM hits h LEFT JOIN snip s USING (doc_id)"""
+
+
+def _bbox_sql(lat: float, lon: float, d_km: float) -> str:
+    """{!bbox} oracle: the box literals come from the SHARED
+    bbox_from_point (generated by construction, never hand-copied);
+    DuckDB applies the identical range predicates."""
+    lat_min, lat_max, lon_min, lon_max = vs.bbox_from_point(lat, lon, d_km)
+    lon_pred = (f"lon >= {lon_min!r} AND lon <= {lon_max!r}"
+                if lon_min <= lon_max
+                else f"(lon >= {lon_min!r} OR lon <= {lon_max!r})")
+    return f"""
+    SELECT c_custkey, lat, lon FROM (
+      SELECT c_custkey,
+             CAST((c_custkey % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+             CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+      FROM customer)
+    WHERE lat >= {lat_min!r} AND lat <= {lat_max!r} AND {lon_pred}"""
 
 
 def _edismax_readers(s: SparkSession, sf: str):
@@ -1773,6 +1799,9 @@ def oracle_sql() -> dict[str, str]:
             [(t, 1.0) for t in sorted(["spark", "merge", "vector", "batch",
                                        "window"])]),
         "highlight_hits": _highlight_sql("spark", k=5),
+        # {!bbox}: the same four box floats the engine computed at
+        # query build time, inlined from the SHARED bbox_from_point
+        "fq_bbox": _bbox_sql(48.2, 16.37, 2000.0),
         # query($q) value source: float32 BM25 score of the nested
         # query (s0 from the shared prelude), double boost combine in
         # the same order as product(query($qq), recip(doc_id,...))

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "map_fn", "scale_fn", "recip", "linear", "haversine_km", "geodist",
     "ms", "strdist_levenshtein", "ord_fn", "rord_fn", "boost_product",
+    "bbox_from_point", "bbox_predicate",
 ]
+
+#: Solr's mean earth radius, km (DistanceUtils.EARTH_MEAN_RADIUS_KM)
+EARTH_RADIUS_KM = 6371.0087714
 
 
 def map_fn(x: Column, lo: float, hi: float, target: float,
@@ -59,7 +63,7 @@ def linear(x: Column, m: float, c: float) -> Column:
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance in km (`[U] .../valuesource/
     HaversineFunction.java`; Solr ``geodist``/``hsin``)."""
-    r = 6371.0087714  # Solr's mean earth radius, km
+    r = EARTH_RADIUS_KM
     p1, p2 = F.radians(lat1), F.radians(lat2)
     dp = F.radians(lat2 - lat1)
     dl = F.radians(lon2 - lon1)
@@ -68,6 +72,46 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 
 
 geodist = haversine_km
+
+
+def bbox_from_point(lat: float, lon: float, d_km: float):
+    """(lat_min, lat_max, lon_min, lon_max) of the smallest lat/lon
+    rectangle containing the ``d_km`` circle around the point — the box
+    Solr's ``{!bbox}`` filters by (`[U] solr/core/.../search/
+    SpatialFilterQParser.java` via spatial4j
+    ``DistanceUtils.calcBoxByDistFromPtDEG``). Computed ONCE at query
+    build time (pure Python floats), exactly like the reference: the
+    per-row filter is then plain range predicates.
+
+    Pole crossing widens longitude to the full band; antimeridian
+    crossing is reported by lon_min > lon_max (caller ORs two ranges).
+    """
+    r = d_km / EARTH_RADIUS_KM
+    dlat = math.degrees(r)
+    lat_min, lat_max = lat - dlat, lat + dlat
+    if lat_min <= -90.0 or lat_max >= 90.0:
+        return (max(lat_min, -90.0), min(lat_max, 90.0), -180.0, 180.0)
+    dlon = math.degrees(math.asin(math.sin(r) / math.cos(math.radians(lat))))
+    lon_min, lon_max = lon - dlon, lon + dlon
+    if lon_min < -180.0:
+        lon_min += 360.0          # wraps: lon_min > lon_max signals OR
+    if lon_max > 180.0:
+        lon_max -= 360.0
+    return (lat_min, lat_max, lon_min, lon_max)
+
+
+def bbox_predicate(lat_col: Column, lon_col: Column,
+                   lat: float, lon: float, d_km: float) -> Column:
+    """Solr ``{!bbox sfield=.. pt=lat,lon d=km}``: rectangle-only
+    containment test (no per-row trig — cheaper than geofilt, may admit
+    corner docs past ``d_km``, exactly as the reference documents). All
+    comparisons are literal range predicates, so Catalyst pushes them
+    into the scan (PushedFilters on lat/lon columns)."""
+    lat_min, lat_max, lon_min, lon_max = bbox_from_point(lat, lon, d_km)
+    p = (lat_col >= lat_min) & (lat_col <= lat_max)
+    if lon_min <= lon_max:
+        return p & (lon_col >= lon_min) & (lon_col <= lon_max)
+    return p & ((lon_col >= lon_min) | (lon_col <= lon_max))
 
 
 def ms(ts1: Column, ts2: Column) -> Column:

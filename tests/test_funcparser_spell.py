@@ -105,6 +105,22 @@ def test_geodist():
     assert v == pytest.approx(2 * math.pi * 6371.0087714 / 4, rel=1e-9)
 
 
+def test_bbox_from_point():
+    from lucene_solr_spark.functions.valuesource import bbox_from_point
+
+    # ordinary mid-latitude box: symmetric about the point, lon span
+    # wider than lat span by 1/cos(lat)
+    lat_min, lat_max, lon_min, lon_max = bbox_from_point(48.2, 16.37, 2000.0)
+    assert lat_min < 48.2 < lat_max
+    assert lon_min < 16.37 < lon_max
+    assert (lon_max - lon_min) > (lat_max - lat_min)
+    # pole crossing: longitude widens to the full band
+    assert bbox_from_point(89.0, 0.0, 500.0)[2:] == (-180.0, 180.0)
+    # antimeridian crossing: reported as lon_min > lon_max (caller ORs)
+    _, _, lo, hi = bbox_from_point(0.0, 179.5, 500.0)
+    assert lo > hi
+
+
 def test_parse_errors():
     for bad in ["recip(x,0.1,1", "unknownfn(x)", "recip(x,y,1,1)", "x y"]:
         with pytest.raises(FunctionQueryError):

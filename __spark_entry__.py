@@ -728,6 +728,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["collapse_best_order"] = lambda s, sf: sx.collapse(
         _t(s, sf, "orders"), "o_custkey", F.desc("o_totalprice"), F.asc("o_orderkey")
     ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+    # ExpandComponent: the rows collapse hid, up to 2 per group, same
+    # sort — rank-2..3 window rows (rank 1 is the collapsed head)
+    q["expand_orders"] = lambda s, sf: sx.expand(
+        _t(s, sf, "orders"), "o_custkey", 2,
+        F.desc("o_totalprice"), F.asc("o_orderkey"),
+    ).select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    # facet.interval: arbitrary open/closed (overlapping) intervals,
+    # one conditional-count pass
+    q["facet_interval_price"] = lambda s, sf: sx.facet_interval(
+        _t(s, sf, "orders"), "o_totalprice", [
+            ("under_50k", None, 50000.0, False, True),
+            ("mid_band", 50000.0, 150000.0, False, True),
+            ("over_150k", 150000.0, None, False, False),
+            ("wide_open", 100000.0, 200000.0, True, False),
+        ])
+    # StatsComponent percentiles: exact linear-interpolation quartiles
+    # (the approx_percentile t-digest analog is the 10^12-row path)
+    q["stats_percentiles_price"] = lambda s, sf: sx.stats_percentiles(
+        _t(s, sf, "lineitem"), "l_extendedprice", [0.25, 0.5, 0.75, 0.95],
+    ).select(
+        "count",
+        *[F.round(F.col(c), 6).alias(c) for c in ("p25", "p50", "p75", "p95")])
     q["search_after_page"] = lambda s, sf: sx.search_after(
         _t(s, sf, "orders"),
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
@@ -2029,6 +2051,29 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders
             ) WHERE rn = 1
+        """,
+        "expand_orders": """
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn BETWEEN 2 AND 3
+        """,
+        "facet_interval_price": """
+            SELECT COUNT(CASE WHEN o_totalprice < 50000.0 THEN 1 END) AS under_50k,
+                   COUNT(CASE WHEN o_totalprice >= 50000.0 AND o_totalprice < 150000.0 THEN 1 END) AS mid_band,
+                   COUNT(CASE WHEN o_totalprice >= 150000.0 THEN 1 END) AS over_150k,
+                   COUNT(CASE WHEN o_totalprice > 100000.0 AND o_totalprice <= 200000.0 THEN 1 END) AS wide_open
+            FROM orders
+        """,
+        "stats_percentiles_price": """
+            SELECT COUNT(l_extendedprice) AS count,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS p50,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95
+            FROM lineitem
         """,
         "search_after_page": """
             SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice_r

@@ -267,6 +267,64 @@ def collapse(df: DataFrame, key: str, *order: Column) -> DataFrame:
     )
 
 
+def expand(df: DataFrame, key: str, n: int, *order: Column) -> DataFrame:
+    """`[U] solr/core/.../handler/component/ExpandComponent.java` —
+    the companion of :func:`collapse`: for every group that collapse
+    kept a head row for, return up to ``n`` of the *other* rows of the
+    group, best-first under the same ``order``. Spark shape: one window
+    rank per key (same shuffle collapse used — a shared partitioning at
+    scale), rows ranked 2..n+1; rank 1 IS the collapsed head and is
+    excluded, exactly as the reference excludes the representative doc
+    from the expanded section."""
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") >= 2) & (F.col("__rn") <= n + 1))
+        .drop("__rn")
+    )
+
+
+def facet_interval(df: DataFrame, fld: str,
+                   intervals: Sequence[tuple]) -> DataFrame:
+    """`[U] solr/core/.../request/IntervalFacets.java` — facet.interval:
+    one count per arbitrary (possibly overlapping, open/closed) interval
+    in a single pass. ``intervals`` is ``(name, lo, hi, lo_open,
+    hi_open)`` with ``None`` bounds meaning ``*`` (unbounded). Like the
+    reference, a doc may land in several intervals — this is a
+    conditional-count agg, not a bucketing groupBy."""
+    c = F.col(fld)
+    conds = {}
+    for name, lo, hi, lo_open, hi_open in intervals:
+        p = F.lit(True)
+        if lo is not None:
+            p = p & ((c > lo) if lo_open else (c >= lo))
+        if hi is not None:
+            p = p & ((c < hi) if hi_open else (c <= hi))
+        conds[name] = p
+    return df.agg(*[
+        F.count(F.when(p, F.lit(1))).alias(name) for name, p in conds.items()
+    ])
+
+
+def stats_percentiles(df: DataFrame, fld: str, probs: Sequence[float],
+                      approx: bool = False) -> DataFrame:
+    """`[U] solr/core/.../handler/component/StatsComponent.java`
+    percentiles (Solr computes them with a mergeable t-digest sketch).
+    ``approx=True`` is the faithful scale path — Spark's
+    ``approx_percentile`` is a mergeable sketch combined map-side, one
+    pass at 10^12 rows; exact ``percentile`` (linear interpolation) is
+    kept for oracle-exact verification at test scale."""
+    c = F.col(fld)
+    fn = "approx_percentile" if approx else "percentile"
+    arr = ", ".join(repr(float(p)) for p in probs)
+    pct = F.expr(f"{fn}({fld}, array({arr}))")
+    return df.agg(
+        F.count(c).alias("count"),
+        *[pct.getItem(i).alias(f"p{int(round(p * 100)):02d}")
+          for i, p in enumerate(probs)],
+    )
+
+
 def search_after(df: DataFrame, order: List[Column], cursor_filter: Column,
                  k: int) -> DataFrame:
     """`[U] .../search/IndexSearcher.java :: searchAfter` — deep paging:

@@ -112,3 +112,46 @@ def test_group_top_k(spark, sf_dir):
         orders, "o_custkey", F.desc("o_totalprice"), F.asc("o_orderkey")
     ).collect()}
     assert best == coll
+
+
+def test_expand_excludes_collapsed_head(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    exp = sx.expand(orders, "o_custkey", 2, *order)
+    counts = exp.groupBy("o_custkey").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+    # the collapsed heads never appear in the expanded section
+    heads = {r["o_orderkey"]
+             for r in sx.collapse(orders, "o_custkey", *order).collect()}
+    assert heads.isdisjoint({r["o_orderkey"] for r in exp.collect()})
+    # collapse + expand together cover min(group_size, 3) rows per key
+    sizes = {r["o_custkey"]: r["count"]
+             for r in orders.groupBy("o_custkey").count().collect()}
+    got = {r["o_custkey"]: r["count"] for r in counts}
+    for k, n in sizes.items():
+        assert got.get(k, 0) == min(n - 1, 2)
+
+
+def test_facet_interval_bounds(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(11)], ["x"])
+    row = sx.facet_interval(df, "x", [
+        ("closed", 2.0, 5.0, False, False),   # [2,5] -> 4
+        ("open", 2.0, 5.0, True, True),       # (2,5) -> 2
+        ("left_unbounded", None, 3.0, False, True),   # (*,3) -> 3
+        ("right_unbounded", 8.0, None, True, False),  # (8,*] -> 2
+    ]).collect()[0]
+    assert (row["closed"], row["open"], row["left_unbounded"],
+            row["right_unbounded"]) == (4, 2, 3, 2)
+
+
+def test_stats_percentiles_exact_and_approx(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+    row = sx.stats_percentiles(df, "x", [0.25, 0.5, 0.75]).collect()[0]
+    assert row["count"] == 100
+    # exact linear interpolation over 1..100
+    assert row["p25"] == pytest.approx(25.75)
+    assert row["p50"] == pytest.approx(50.5)
+    assert row["p75"] == pytest.approx(75.25)
+    # the sketch path (the 10^12-row analog of Solr's t-digest) is close
+    arow = sx.stats_percentiles(df, "x", [0.5], approx=True).collect()[0]
+    assert abs(arow["p50"] - 50.5) <= 2.0

@@ -31,6 +31,7 @@ from lucene_solr_spark.operators import mathexpr as mx
 from lucene_solr_spark.operators import select as sel
 from lucene_solr_spark.operators import streamparser as sp
 from lucene_solr_spark.operators import highlight as hl
+from lucene_solr_spark.operators import search as se
 from lucene_solr_spark.operators import multimodal as mm
 from lucene_solr_spark.operators import similarity as sim
 from lucene_solr_spark.operators import streamexpr as sx
@@ -1039,6 +1040,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).alias("d"),
     ).filter(F.col("d") <= 2000.0).select(
         "c_custkey", F.round("d", 3).alias("dist_km"))
+    # facet.heatmap: 12x24 grid counts over the synthetic lat/lon —
+    # half-degree points on 10-degree cells, no boundary ambiguity
+    q["facet_heatmap_customers"] = lambda s, sf: sx.facet_heatmap(
+        _t(s, sf, "customer").select(
+            "c_custkey",
+            ((F.col("c_custkey") % 180) - 90 + F.lit(0.5)).alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + F.lit(0.5)).alias("lon"),
+        ), "lat", "lon", -60.0, 60.0, -120.0, 120.0, 12, 24)
+    # term vectors (/tv): reanalysis of 8 stored docs, shared analyzer
+    q["term_vectors_sample"] = lambda s, sf: se.term_vectors(
+        _t(s, sf, "documents").withColumnRenamed("text", "content"),
+        list(range(8)), analyzer="simple")
     # {!bbox}: rectangle-containing-the-circle filter — the box is four
     # floats computed at query build time (spatial4j
     # calcBoxByDistFromPtDEG), the row filter is pushdown-able ranges
@@ -1824,6 +1837,34 @@ def oracle_sql() -> dict[str, str]:
         # {!bbox}: the same four box floats the engine computed at
         # query build time, inlined from the SHARED bbox_from_point
         "fq_bbox": _bbox_sql(48.2, 16.37, 2000.0),
+        # facet.heatmap: identical floor-grid arithmetic on the same
+        # synthetic half-degree points (10-degree cells)
+        "facet_heatmap_customers": """
+            SELECT CAST(FLOOR((lat + 60.0) / 10.0) AS BIGINT) AS grid_row,
+                   CAST(FLOOR((lon + 120.0) / 10.0) AS BIGINT) AS grid_col,
+                   COUNT(*) AS cnt
+            FROM (SELECT CAST((c_custkey % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+                         CAST((c_custkey * 7 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                  FROM customer)
+            WHERE lat >= -60.0 AND lat < 60.0
+              AND lon >= -120.0 AND lon < 120.0
+            GROUP BY 1, 2
+        """,
+        # term vectors: the toks replay (same tk0 chain as the BM25
+        # prelude) exploded with ordinals -> (term, tf, positions)
+        "term_vectors_sample": """
+            WITH raw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents WHERE doc_id < 8),
+            ex AS (
+              SELECT doc_id, tk[i + 1] AS term, CAST(i AS INT) AS pos
+              FROM raw, UNNEST(range(len(tk))) AS u(i))
+            SELECT doc_id, term, COUNT(*) AS tf,
+                   LIST(pos ORDER BY pos) AS positions
+            FROM ex GROUP BY doc_id, term
+        """,
         # query($q) value source: float32 BM25 score of the nested
         # query (s0 from the shared prelude), double boost combine in
         # the same order as product(query($qq), recip(doc_id,...))

@@ -1041,3 +1041,38 @@ def _contains_matchall(q: Query) -> bool:
     if isinstance(q, BooleanQuery):
         return any(_contains_matchall(c) for c in q.should + q.must + q.must_not)
     return False
+
+
+def term_vectors(source: DataFrame, doc_ids, analyzer: str = "simple",
+                 text_col: str = "content") -> DataFrame:
+    """Per-doc term vectors: (doc_id, term, tf, positions) for a bounded
+    doc set (`[U] lucene/core/.../codecs/compressing/
+    CompressingTermVectorsReader.java` surface). The index stores
+    postings term-major, so this uses the reanalysis fallback the
+    reference itself uses when vectors aren't stored (`[U]
+    lucene/highlighter/.../uhighlight/UnifiedHighlighter.java`
+    OffsetSource.ANALYSIS): the id filter pushes into the source scan
+    (PushedFilters: In(doc_id)), then ONE Arrow batch re-runs the SHARED
+    analyzer over just those docs — cost ∝ |doc_ids|, not corpus size.
+    """
+    from ..analysis import analyze
+
+    ids = [int(i) for i in doc_ids]
+    rows = source.filter(F.col("doc_id").isin(ids)).select("doc_id", text_col)
+
+    def gen(it):
+        for pdf in it:
+            out = {"doc_id": [], "term": [], "tf": [], "positions": []}
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                tv: Dict[str, list] = {}
+                for t, p in analyze(txt or "", analyzer):
+                    tv.setdefault(t, []).append(p)
+                for t, ps in tv.items():
+                    out["doc_id"].append(did)
+                    out["term"].append(t)
+                    out["tf"].append(len(ps))
+                    out["positions"].append(ps)
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(
+        gen, "doc_id long, term string, tf long, positions array<int>")

@@ -306,6 +306,32 @@ def facet_interval(df: DataFrame, fld: str,
     ])
 
 
+def facet_heatmap(df: DataFrame, lat_col: str, lon_col: str,
+                  lat_min: float, lat_max: float,
+                  lon_min: float, lon_max: float,
+                  n_rows: int, n_cols: int) -> DataFrame:
+    """`[U] solr/core/.../handler/component/SpatialHeatmapFacets.java` —
+    facet.heatmap: 2D grid-cell counts of points inside a bounding box
+    (the reference walks a PrefixTree at ``gridLevel``; a uniform
+    ``n_rows × n_cols`` grid over the box is the equivalent flat level).
+    Pure JVM floor arithmetic on two pushdown-able range filters, one
+    partial+final hash agg keyed on (row, col) — no shuffle beyond the
+    agg, count ∝ non-empty cells. Only non-empty cells are returned
+    (the reference's counts_ints2D run-length encodes the zeros)."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    cell_h = (lat_max - lat_min) / n_rows
+    cell_w = (lon_max - lon_min) / n_cols
+    return (
+        df.filter((lat >= lat_min) & (lat < lat_max)
+                  & (lon >= lon_min) & (lon < lon_max))
+        .groupBy(
+            F.floor((lat - F.lit(lat_min)) / F.lit(cell_h)).alias("grid_row"),
+            F.floor((lon - F.lit(lon_min)) / F.lit(cell_w)).alias("grid_col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("grid_row", "grid_col")
+    )
+
+
 def stats_percentiles(df: DataFrame, fld: str, probs: Sequence[float],
                       approx: bool = False) -> DataFrame:
     """`[U] solr/core/.../handler/component/StatsComponent.java`

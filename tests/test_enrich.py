@@ -155,3 +155,32 @@ def test_stats_percentiles_exact_and_approx(spark):
     # the sketch path (the 10^12-row analog of Solr's t-digest) is close
     arow = sx.stats_percentiles(df, "x", [0.5], approx=True).collect()[0]
     assert abs(arow["p50"] - 50.5) <= 2.0
+
+
+def test_facet_heatmap_grid(spark):
+    pts = [(0.5, 0.5), (0.5, 0.5), (-59.9, -119.9), (59.9, 119.9),
+           (60.0, 0.0), (0.0, 120.0)]  # last two outside [min, max)
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    cells = {(r["grid_row"], r["grid_col"]): r["cnt"]
+             for r in sx.facet_heatmap(df, "lat", "lon",
+                                       -60.0, 60.0, -120.0, 120.0,
+                                       12, 24).collect()}
+    assert cells == {(6, 12): 2, (0, 0): 1, (11, 23): 1}
+
+
+def test_term_vectors_reanalysis(spark):
+    from lucene_solr_spark.operators.search import term_vectors
+
+    df = spark.createDataFrame(
+        [(0, "spark merge spark"), (1, "batch window")],
+        ["doc_id", "content"])
+    rows = {(r["doc_id"], r["term"]): (r["tf"], list(r["positions"]))
+            for r in term_vectors(df, [0, 1], analyzer="simple").collect()}
+    assert rows == {
+        (0, "spark"): (2, [0, 2]), (0, "merge"): (1, [1]),
+        (1, "batch"): (1, [0]), (1, "window"): (1, [1]),
+    }
+    # id filter: only requested docs are analyzed
+    assert not [k for k in rows if k[0] == 1 and k[1] == "spark"]
+    only0 = term_vectors(df, [0], analyzer="simple").collect()
+    assert {r["doc_id"] for r in only0} == {0}

@@ -349,6 +349,29 @@ def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0",
             + _bm25_rank_tail(scored, k))
 
 
+def _bm25_sql_spanfirst(term: str, end: int, k: int = 10, chain: str = "tk0",
+                        src_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """SpanFirst oracle: tf counts only 1-based token indices <= end
+    (0-based position < end, i.e. span.end() <= end); df / idf stay the
+    FULL term df — the inner SpanTermQuery's collection stats, exactly
+    what the engine's term_weight uses."""
+    idf = ("ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM d0) + 0.5)"
+           " / ((SELECT df FROM d0) + 0.5))")
+    ctes = f""",
+    m0 AS (SELECT doc_id, c,
+                  len(list_filter(tk, x -> x = '{term}')) AS tf_full,
+                  len([i FOR i IN range(1, LEAST(len(tk), {end}) + 1)
+                       IF tk[i] = '{term}']) AS tf
+           FROM cache),
+    d0 AS (SELECT COUNT(*) AS df FROM m0 WHERE tf_full > 0)"""
+    scored = f"""SELECT doc_id,
+             CAST(1.0 * ({idf}) AS REAL)
+             * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc
+      FROM m0 WHERE tf > 0"""
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql)
+            + ctes + _bm25_rank_tail(scored, k))
+
+
 def _bm25_sql_constant(pred: str, k: int = 10, boost: float = 1.0,
                        chain: str = "tk0") -> str:
     """Constant-score multiterm (prefix / wildcard / range): the engine
@@ -536,6 +559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, sf, "spark AND merge AND join")
     q["bm25_simple_phrase"] = lambda s, sf: _bm25_simple(s, sf, '"batch batch"')
     q["bm25_simple_boost"] = lambda s, sf: _bm25_simple(s, sf, "spark^2 OR merge")
+    # SpanFirst(term, end): only occurrences at position < end count
+    # toward tf; weight stays the term's full-df BM25 weight
+    q["bm25_spanfirst_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="simple").search(
+            qp.SpanFirstQuery("spark", 5), k=10))
     q["bm25_simple_dismax"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.DisjunctionMaxQuery(
@@ -1609,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_conjunction": _bm25_sql_conjunction(
             [("spark", 1.0), ("merge", 1.0), ("join", 1.0)]),
         "bm25_simple_phrase": _bm25_sql_phrase(["batch", "batch"]),
+        "bm25_spanfirst_topk": _bm25_sql_spanfirst("spark", 5),
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
         "ltr_rerank_topk": _ltr_sql("spark", 0.7, 0.1, 0.2),

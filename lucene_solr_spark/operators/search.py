@@ -56,6 +56,7 @@ from ..plans.query import (
     MultiTermQuery,
     PhraseQuery,
     Query,
+    SpanFirstQuery,
     TermQuery,
     expand_multiterm,
     parse_query,
@@ -249,9 +250,25 @@ class _SegmentScorer:
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
+        if isinstance(q, SpanFirstQuery):
+            return self._eval_spanfirst(q)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q)
         raise TypeError(f"unsupported query node {q!r}")
+
+    def _eval_spanfirst(self, q: SpanFirstQuery) -> Tuple[np.ndarray, np.ndarray]:
+        """SpanFirst(term, end): tf = occurrences at position < end
+        (two-phase — positions decoded only for this term's postings),
+        scored with the term's FULL-df BM25 weight."""
+        tp = self.terms.get(q.term)
+        if tp is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        plist = tp.positions()
+        tfs = np.fromiter((int((p < q.end).sum()) for p in plist),
+                          dtype=np.int64, count=len(plist))
+        hit = tfs > 0
+        w = self.weights.get((q.term, q.boost), np.float32(0.0))
+        return tp.docs[hit], score_tf(w, tfs[hit], tp.norms[hit], self.cache)
 
     def _eval_phrase(self, q: PhraseQuery) -> Tuple[np.ndarray, np.ndarray]:
         tps = [self.terms.get(t) for t in q.terms]
@@ -627,6 +644,13 @@ class IndexReader:
                         term_weight(dfs[node.term], self.doc_count,
                                     node.boost, classic_k1p1),
                     )
+            elif isinstance(node, SpanFirstQuery):
+                if node.term in dfs:
+                    weights.setdefault(
+                        (node.term, node.boost),
+                        term_weight(dfs[node.term], self.doc_count,
+                                    node.boost, classic_k1p1),
+                    )
             elif isinstance(node, ConstantScoreQuery):
                 walk(node.query)
             elif isinstance(node, DisjunctionMaxQuery):
@@ -815,7 +839,7 @@ class IndexReader:
         if weights or phrase_weights:
             cols += ["tfs", "norms", "blk_first", "blk_last",
                      "blk_max_tf", "blk_min_norm", "blk_doc_off", "blk_tf_off"]
-        if phrase_weights:
+        if phrase_weights or _contains_spanfirst(q):
             cols += ["pos", "blk_pos_off"]
         src = src.select(*cols)
         if has_matchall:
@@ -1029,6 +1053,19 @@ class IndexReader:
             .limit(n)
             .select("term", "df", "dist")
         )
+
+
+def _contains_spanfirst(q: Query) -> bool:
+    if isinstance(q, SpanFirstQuery):
+        return True
+    if isinstance(q, ConstantScoreQuery):
+        return _contains_spanfirst(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(_contains_spanfirst(c) for c in q.clauses)
+    if isinstance(q, BooleanQuery):
+        return any(_contains_spanfirst(c)
+                   for c in q.should + q.must + q.must_not)
+    return False
 
 
 def _contains_matchall(q: Query) -> bool:

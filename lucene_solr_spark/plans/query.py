@@ -40,6 +40,7 @@ __all__ = [
     "ConstantScoreQuery",
     "DisjunctionMaxQuery",
     "MultiTermQuery",
+    "SpanFirstQuery",
     "parse_query",
     "rewrite",
     "query_terms",
@@ -102,6 +103,26 @@ class ConstantScoreQuery:
     CONSTANT_SCORE rewrite target of MultiTermQuery)."""
 
     query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery:
+    """Span-family position filter (`[U] lucene/core/.../search/spans/
+    SpanFirstQuery.java` over a `SpanTermQuery.java` inner): the term
+    must occur within the first ``end`` positions of the field. A
+    qualifying occurrence is a span with end() <= ``end`` — for a term
+    span at position p that is p + 1 <= end, i.e. p < end. freq = the
+    number of qualifying occurrences (each term span contributes
+    sloppyFreq(0) = 1), scored with the term's own BM25 weight (the
+    inner SpanTermQuery's collection stats — FULL df, not the
+    position-filtered df). The ordered SpanNearQuery case is already
+    covered by PhraseQuery(slop=...) — sloppy_phrase_freq IS the
+    NearSpansOrdered per-anchor minimal-span semantics."""
+
+    term: str
+    end: int
+    field: str = DEFAULT_FIELD
     boost: float = 1.0
 
 
@@ -593,6 +614,8 @@ def query_terms(q: Query) -> List[Tuple[str, str]]:
 
     def walk(node: Query):
         if isinstance(node, TermQuery):
+            out.append((node.field, node.term))
+        elif isinstance(node, SpanFirstQuery):
             out.append((node.field, node.term))
         elif isinstance(node, PhraseQuery):
             out.extend((node.field, t) for t in node.terms)

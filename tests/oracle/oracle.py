@@ -38,6 +38,7 @@ from lucene_solr_spark.plans.query import (
     MultiTermQuery,
     PhraseQuery,
     Query,
+    SpanFirstQuery,
     TermQuery,
     expand_multiterm,
     multiterm_predicate,
@@ -90,6 +91,20 @@ class OracleIndex:
                 return {}
             w = term_weight(len(pl), self.stats.doc_count, q.boost, self.classic_k1p1)
             return {d: self._score_one(w, tf, d) for d, tf in pl.items()}
+        if isinstance(q, SpanFirstQuery):
+            # tf = occurrences at position < end; FULL-df term weight
+            pl = self.positions.get(q.term, {})
+            full = self.postings.get(q.term, {})
+            if not full:
+                return {}
+            w = term_weight(len(full), self.stats.doc_count, q.boost,
+                            self.classic_k1p1)
+            out = {}
+            for d, ps in pl.items():
+                tf = sum(1 for p in ps if p < q.end)
+                if tf:
+                    out[d] = self._score_one(w, tf, d)
+            return out
         if isinstance(q, PhraseQuery):
             return self._phrase_matches(q)
         if isinstance(q, BooleanQuery):

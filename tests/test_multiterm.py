@@ -194,3 +194,32 @@ def test_stop_analyzer_index_rank_identical(spark, sf_dir, tmp_path_factory):
         got, total = reader.search_with_total(q, k=20)
         assert [d_ for d_, _ in got] == [d_ for d_, _ in expected.score_docs], q
         assert total == expected.total_hits
+
+
+def test_spanfirst_rank_identical(idx_pair):
+    from lucene_solr_spark.plans.query import SpanFirstQuery
+
+    reader, oracle = idx_pair
+    for term, end in [("spark", 5), ("spark", 1), ("merge", 20),
+                      ("nosuchterm", 5)]:
+        q = SpanFirstQuery(term, end)
+        expected = oracle.search(q, k=20)
+        got, total = reader.search_with_total(q, k=20)
+        assert [d for d, _ in got] == [d for d, _ in expected.score_docs], (term, end)
+        for (gd, gs), (ed, es) in zip(got, expected.score_docs):
+            assert abs(gs - es) < 1e-6, (term, end, gd)
+        assert total == expected.total_hits
+
+
+def test_spanfirst_subset_of_term(idx_pair):
+    from lucene_solr_spark.plans.query import SpanFirstQuery, TermQuery
+
+    reader, _ = idx_pair
+    all_docs = {r["doc_id"] for r in reader.score_all(TermQuery("spark")).collect()}
+    first = {r["doc_id"]
+             for r in reader.score_all(SpanFirstQuery("spark", 3)).collect()}
+    assert first <= all_docs
+    # a huge end bound degenerates to the plain term matches
+    wide = {r["doc_id"]
+            for r in reader.score_all(SpanFirstQuery("spark", 1 << 30)).collect()}
+    assert wide == all_docs

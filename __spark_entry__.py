@@ -214,6 +214,22 @@ def _english_chain() -> str:
             f"t -> CASE t {cases} ELSE t END)")
 
 
+def _phonetic_chain() -> str:
+    """DuckDB expression mirroring the phonetic analyzer (inject=true
+    PhoneticFilter): every token is kept and its Soundex code appended
+    at the same position. The token->code map is generated FROM the
+    shared ``analysis.soundex`` kernel over the fixed corpus
+    vocabulary (unseen tokens pass through un-injected)."""
+    from lucene_solr_spark.analysis import soundex
+
+    cases = " ".join(
+        f"WHEN '{w}' THEN ['{w}','{soundex(w)}']"
+        for w in _CORPUS_VOCAB if soundex(w) and soundex(w) != w
+    )
+    return (f"flatten(list_transform(tk0, "
+            f"t -> CASE t {cases} ELSE [t] END))")
+
+
 def _bm25_term_ctes(i: int, term: str, boost: float) -> str:
     idf = (f"ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM d{i}) + 0.5)"
            f" / ((SELECT df FROM d{i}) + 0.5))")
@@ -604,6 +620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, sf, analyzer="edge_ngram").termfreq("spar")
     q["synonym_termfreq"] = lambda s, sf: _index_for(
         s, sf, analyzer="synonym_demo").termfreq("flame")
+    # PhoneticFilter (Soundex, inject=true): the query token "spork"
+    # is absent from the corpus but its code S162 == soundex("spark"),
+    # so phonetic indexing+query expansion rank the spark documents
+    q["bm25_phonetic_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="phonetic").search("spork", k=10))
+    q["phonetic_termfreq"] = lambda s, sf: _index_for(
+        s, sf, analyzer="phonetic").termfreq("S162")
 
     # ---- deletes (SURVEY §2.3 updateDocument/PendingDeletes):
     # tombstoned ids must vanish from ranking and termfreq while stats
@@ -1953,6 +1976,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tf FROM (
               SELECT doc_id,
                      len(list_filter(tk, t -> t = 'spark' OR t = 'flame')) AS tf
+              FROM toks
+            ) WHERE tf > 0
+        """,
+        "bm25_phonetic_topk": _bm25_sql_disjunction(
+            [("spork", 1.0), ("S162", 1.0)], chain=_phonetic_chain()),
+        "phonetic_termfreq": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk0
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              SELECT doc_id, len(list_filter({_phonetic_chain()},
+                                             t -> t = 'S162')) AS tf
               FROM toks
             ) WHERE tf > 0
         """,

@@ -78,7 +78,8 @@ _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
               "ascii_folding": TOKEN_RE,
               "shingle": TOKEN_RE,
               "edge_ngram": TOKEN_RE,
-              "synonym_demo": TOKEN_RE}
+              "synonym_demo": TOKEN_RE,
+              "phonetic": TOKEN_RE}
 
 # EdgeNGram bounds (`[U] lucene/analysis/common/.../ngram/
 # EdgeNGramTokenFilter.java`): emit prefixes of length min..max per
@@ -151,12 +152,61 @@ def _emit_synonym(raw):
     return out
 
 
+_SOUNDEX_CODE = {}
+for _grp, _dig in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                   ("l", "4"), ("mn", "5"), ("r", "6")):
+    for _c in _grp:
+        _SOUNDEX_CODE[_c] = _dig
+
+
+def soundex(tok: str) -> str:
+    """Classic American Soundex (`[U] solr/core/.../schema/ — Solr's
+    PhoneticFilterFactory delegates to commons-codec
+    ``Soundex.US_ENGLISH``): first letter + 3 digits. Commons-codec
+    semantics: non-letters stripped first; H/W are transparent (two
+    same-code consonants separated only by H/W collapse to one digit,
+    separated by a vowel they emit twice); vowels reset the previous
+    code. Tokens with no ASCII letter encode to '' (no code emitted)."""
+    letters = [c for c in tok.lower() if "a" <= c <= "z"]
+    if not letters:
+        return ""
+    out = letters[0].upper()
+    prev = _SOUNDEX_CODE.get(letters[0], "")
+    for c in letters[1:]:
+        if c in "hw":
+            continue  # transparent: prev code carries across
+        code = _SOUNDEX_CODE.get(c, "")
+        if not code:          # vowel: resets the duplicate-collapse
+            prev = ""
+            continue
+        if code != prev:
+            out += code
+            if len(out) == 4:
+                break
+        prev = code
+    return (out + "000")[:4]
+
+
+def _emit_phonetic(raw):
+    """PhoneticFilter (`[U] lucene/analysis/phonetic/.../
+    PhoneticFilter.java`, inject=true default): each token is emitted
+    verbatim, followed by its encoder output at the SAME position
+    (posIncr 0) when the code is non-empty and differs from the token."""
+    out = []
+    for i, t in enumerate(raw):
+        out.append((t, i))
+        code = soundex(t)
+        if code and code != t:
+            out.append((code, i))
+    return out
+
+
 #: multi-emission token filters: text -> [(term, position)] where one
 #: source token may yield several terms (shingles, grams, synonyms).
 #: These route through the explicit-positions build path (like stop
 #: gaps); dl = number of EMITTED tokens (FieldInvertState semantics).
 _EMITTERS = {"shingle": _emit_shingle, "edge_ngram": _emit_edge_ngram,
-             "synonym_demo": _emit_synonym}
+             "synonym_demo": _emit_synonym, "phonetic": _emit_phonetic}
 
 # EnglishAnalyzer chain (`[U] lucene/analysis/common/.../en/
 # EnglishAnalyzer.java`): StandardTokenizer -> EnglishPossessiveFilter

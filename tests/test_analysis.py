@@ -227,3 +227,42 @@ def test_synonym_index_matches_synonym_query(spark, tmp_path):
     # phrase across a same-position synonym: "large spark" matches doc 0
     # because 'large' sits at the same position as 'big'
     assert {doc for doc, _ in idx.search_with_total('"large spark"', k=10)[0]} == {0}
+
+
+def test_soundex_kernel_and_phonetic_stream():
+    """Classic Soundex per commons-codec US_ENGLISH (Solr's
+    PhoneticFilterFactory default codec family): known-answer vectors
+    incl. the H/W-transparency cases, then the inject=true emission."""
+    from lucene_solr_spark.analysis import analyze, soundex, tokenize
+
+    for w, exp in [("Robert", "R163"), ("Rupert", "R163"),
+                   ("Ashcraft", "A261"), ("Tymczak", "T522"),
+                   ("Pfister", "P236"), ("Honeyman", "H555"),
+                   ("spark", "S162"), ("spork", "S162"),
+                   ("a", "A000"), ("12345", "")]:
+        assert soundex(w) == exp, w
+    # inject=true: original token kept, code at the SAME position
+    assert analyze("spark merge", "phonetic") == [
+        ("spark", 0), ("S162", 0), ("merge", 1), ("M620", 1)]
+    assert tokenize("the spark", "phonetic") == \
+        ["the", "T000", "spark", "S162"]
+
+
+def test_phonetic_index_matches_misspelled_query(spark, tmp_path):
+    """Phonetic indexing + query expansion: 'spork' is absent from the
+    corpus but shares S162 with 'spark', so the query matches."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+
+    src = spark.createDataFrame(
+        [(0, "r", "p", "c", "t", "the spark engine"),
+         (1, "r", "p", "c", "t", "a merge pass"),
+         (2, "r", "p", "c", "t", "nothing here")],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, src, d, docs_per_seg=4, analyzer="phonetic")
+    idx = IndexReader(spark, d)
+    assert {doc for doc, _ in idx.search_with_total("spork", k=10)[0]} == {0}
+    # codes do not cross-match unrelated words
+    assert {doc for doc, _ in idx.search_with_total("merge", k=10)[0]} == {1}

@@ -39,6 +39,7 @@ from lucene_solr_spark.operators import textproc as tp
 from lucene_solr_spark.operators.build import build_index, read_manifest
 from lucene_solr_spark.plans import query as qp
 from lucene_solr_spark.operators.search import IndexReader
+from lucene_solr_spark.analysis import tokenize as _tokenize
 from lucene_solr_spark.sources import load_documents, load_source_table
 
 WORK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".work")
@@ -639,6 +640,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["update_bm25_topk"] = lambda s, sf: _rank_topk(
         _updated_index(s, sf).search("updatemark OR value", k=10))
     q["update_termfreq"] = lambda s, sf: _updated_index(s, sf).termfreq("updatemark")
+
+    # realtime /get (RealTimeGetComponent): point-lookup by key on the
+    # post-update index — updated keys must answer with the REPLACEMENT
+    # version (fresh doc_id, new dl), untouched keys with the original
+    def _rtg_latest(s, sf):
+        from lucene_solr_spark.operators.select import realtime_get
+
+        idx = _updated_index(s, sf)
+        keys = (load_source_table(s, sf)
+                .filter(F.col("doc_id").isin(0, 1, 13, 26))
+                .select("repo", "path"))
+        out = realtime_get(idx, keys, fl=("lang", "dl"))
+        return out.withColumn("dl", F.col("dl").cast("long"))
+
+    q["rtg_latest"] = _rtg_latest
     q["bm25_simple_mm"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.BooleanQuery(
@@ -2006,6 +2022,27 @@ def oracle_sql() -> dict[str, str]:
                                      t -> t = 'updatemark')) AS tf
               FROM src
             ) WHERE tf > 0 AND {_UPD_LIVE_SQL}
+        """,
+        "rtg_latest": f"""
+            WITH rep AS (
+              SELECT repo, path,
+                     {_UPD_BOUNDARY_SQL} + ROW_NUMBER() OVER (ORDER BY repo, path) - 1
+                       AS new_id
+              FROM (SELECT 'corpus/' || source AS repo,
+                           'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+                    FROM documents WHERE doc_id % 13 = 0)),
+            sel AS (
+              SELECT doc_id, 'corpus/' || source AS repo,
+                     'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, lang,
+                     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                     t -> t != '')) AS dl0
+              FROM documents WHERE doc_id IN (0, 1, 13, 26))
+            SELECT s.repo, s.path,
+                   COALESCE(r.new_id, s.doc_id) AS doc_id, s.lang,
+                   CAST(CASE WHEN r.new_id IS NULL THEN s.dl0
+                        ELSE {len(_tokenize(_UPDATE_MARK_TEXT, "simple"))} END
+                        AS BIGINT) AS dl
+            FROM sel s LEFT JOIN rep r ON s.repo = r.repo AND s.path = r.path
         """,
         "delete_termfreq": r"""
             SELECT doc_id, tf FROM (

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from ..plans.query import parse_query
 from . import streamexpr as sx
 
-__all__ = ["solr_select", "SelectResponse"]
+__all__ = ["solr_select", "SelectResponse", "realtime_get"]
 
 
 @dataclass
@@ -201,3 +201,47 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     return SelectResponse(docs=docs, matches=matches, facets=facets,
                           highlighting=highlighting, spellcheck=spellcheck,
                           next_cursor_mark=next_cursor)
+
+
+def realtime_get(idx, keys, key_cols: Sequence[str] = ("repo", "path"),
+                 fl: Sequence[str] = ("commit", "lang")) -> DataFrame:
+    """Realtime ``/get`` (`[U] solr/core/.../handler/component/
+    RealTimeGetComponent.java`): point-lookup by application key,
+    returning the CURRENT version of each matching document.
+
+    ``updateDocument`` appends the replacement under a fresh doc_id and
+    tombstones the stale copies, so "current" = the highest LIVE doc_id
+    per key; a key whose every version is deleted returns nothing
+    (Solr: the id is simply absent from the response).
+
+    ``keys`` is either a list of key tuples — compiled to a literal
+    OR-of-equalities predicate so the point lookup pushes down to the
+    docmeta parquet scan (PushedFilters, no full-corpus read) — or a
+    DataFrame of key columns, broadcast-semi-joined for batched gets.
+    Returns (key_cols..., doc_id, fl...) with one row per found key.
+    """
+    dm = idx.docmeta
+    if isinstance(keys, DataFrame):
+        hits = dm.join(F.broadcast(keys.select(*key_cols).distinct()),
+                       list(key_cols), "left_semi")
+    else:
+        pred = None
+        for kt in keys:
+            if not isinstance(kt, (tuple, list)):
+                kt = (kt,)
+            c = F.lit(True)
+            for k, v in zip(key_cols, kt):
+                c = c & (F.col(k) == F.lit(v))
+            pred = c if pred is None else (pred | c)
+        if pred is None:
+            return dm.select(*key_cols, "doc_id", *fl).limit(0)
+        hits = dm.filter(pred)
+    if idx.manifest.delete_files:
+        hits = hits.join(idx._deleted_df(), "doc_id", "left_anti")
+    # newest surviving version per key (also shields the crash window
+    # between update_documents' two commits, where both copies are
+    # briefly visible — /get must still answer with the newest)
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(F.desc("doc_id"))
+    latest = (hits.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1))
+    return latest.select(*key_cols, "doc_id", *fl)

@@ -131,3 +131,42 @@ def test_deftype_edismax_routes_through_edismax_scorer(idx, spark, sf_dir,
     got = [(r["doc_id"], round(float(r["score"]), 6))
            for r in via.docs.collect()]
     assert got == direct
+
+
+def test_realtime_get_returns_latest_live_version(spark, tmp_path_factory):
+    """/get answers with the replacement after updateDocument, with the
+    original for untouched keys, and with nothing for deleted keys —
+    via BOTH the literal point-lookup path and the batched-keys path."""
+    from lucene_solr_spark.operators.delete import (delete_documents,
+                                                    update_documents)
+    from lucene_solr_spark.operators.select import realtime_get
+
+    d = str(tmp_path_factory.mktemp("rtg") / "idx")
+    src = spark.createDataFrame(
+        [(i, "r", f"p{i}", "c", "t", f"doc number {i} spark") for i in range(6)],
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )
+    build_index(spark, src, d, docs_per_seg=4)
+    upd = spark.createDataFrame(
+        [("r", "p2", "c2", "t", "replacement text two"),
+         ("r", "p4", "c2", "t", "replacement text four")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    update_documents(spark, d, upd)
+    idx = IndexReader(spark, d)
+    delete_documents(spark, d, idx.docmeta.filter(F.col("path") == "p5")
+                     .select("doc_id"))
+    idx = IndexReader(spark, d)
+
+    # literal point lookups (pushdown predicate path)
+    rows = {r["path"]: r for r in realtime_get(
+        idx, [("r", "p1"), ("r", "p2"), ("r", "p5")], fl=("commit",)).collect()}
+    assert rows["p1"]["doc_id"] == 1 and rows["p1"]["commit"] == "c"
+    assert rows["p2"]["doc_id"] > 5 and rows["p2"]["commit"] == "c2"
+    assert "p5" not in rows  # every version deleted -> absent
+
+    # batched-keys DataFrame path agrees
+    keys = spark.createDataFrame([("r", "p2"), ("r", "p4")],
+                                 "repo string, path string")
+    got = {r["path"]: r["doc_id"] for r in realtime_get(idx, keys).collect()}
+    assert set(got) == {"p2", "p4"} and all(v > 5 for v in got.values())

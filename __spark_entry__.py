@@ -1067,6 +1067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_terms"] = lambda s, sf: s.createDataFrame(
         _index_for(s, sf).suggest("s", n=10), "term string, df long"
     )
+    # TermsComponent /terms: range + mincount + sort=index knobs (a
+    # different knob set than suggest's prefix + count-sort)
+    q["terms_enum_range"] = lambda s, sf: _index_for(s, sf).terms_enum(
+        lower="p", upper="t", min_count=2, limit=15, sort="index"
+    )
     q["highlight_hits"] = lambda s, sf: hl.highlight(
         _index_for(s, sf).fetch(_index_for(s, sf).search("content:spark", k=5))
         .join(load_source_table(s, sf).select("doc_id", "content"), "doc_id"),
@@ -1195,15 +1200,24 @@ _WINDOW_ORDER = [
     # keyed updateDocument surface (code path changes this round)
     "update_bm25_topk", "update_termfreq",
     # never-graded standard-analyzer BM25 + multiterm family
-    "bm25_conjunction_topk", "bm25_mixed_topk", "bm25_prefix_topk",
-    "bm25_wildcard_topk", "bm25_fuzzy_topk", "bm25_range_topk",
+    # (bm25_mixed/range rotated out: conjunction + prefix/wildcard/
+    # fuzzy already represent both classes; replica-checked)
+    "bm25_conjunction_topk", "bm25_prefix_topk",
+    "bm25_wildcard_topk", "bm25_fuzzy_topk",
     "bm25_min_should_match",
-    # never-graded facets / streams / joins
-    "facet_pivot_lang_source", "facet_range_totalprice", "facet_query_events",
-    "rank_stream_top20", "unique_stream_first_order", "merge_stream_hi_lo",
-    "intersect_stream_cust", "complement_stream_cust",
+    # round-4 NEW operator classes, never graded: position-bounded
+    # spans, phonetic analyzer BM25, realtime /get, ExpandComponent,
+    # stats percentiles, term-vectors reanalysis
+    "bm25_spanfirst_topk", "bm25_phonetic_topk", "rtg_latest",
+    "expand_orders", "stats_percentiles_price", "term_vectors_sample",
+    # never-graded facets / streams / joins (facet_query / merge /
+    # complement / reducer rotated out as same-class duplicates of
+    # pivot+range / intersect / rollup+group rows that stay)
+    "facet_pivot_lang_source", "facet_range_totalprice",
+    "rank_stream_top20", "unique_stream_first_order",
+    "intersect_stream_cust",
     "hash_join_orders_cust", "join_scored_max", "significant_terms_en",
-    "collapse_best_order", "search_after_page", "reducer_stream_events",
+    "collapse_best_order", "search_after_page",
     "stats_distinct_users", "math_corr_regress", "group_top2_orders",
     # never-graded round-3 front doors + misc components (+ the new
     # full-lifecycle facade composition)
@@ -1893,6 +1907,20 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1)
             SELECT term, df FROM td WHERE term LIKE 's%'
             ORDER BY df DESC, term LIMIT 10
+        """,
+        # TermsComponent: docFreq is the delete-blind per-term doc
+        # count; range/mincount/sort=index replayed on the same toks
+        "terms_enum_range": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            td AS (SELECT t AS term, COUNT(DISTINCT doc_id) AS df
+                   FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1)
+            SELECT term, df FROM td
+            WHERE term >= 'p' AND term < 't' AND df >= 2
+            ORDER BY term LIMIT 15
         """,
         # MoreLikeThis: the engine picks the text's top tf*idf terms
         # (all tf=1 here; min_doc_freq=2 keeps every corpus term at this

@@ -1024,6 +1024,44 @@ class IndexReader:
         )
         return [(r["term"], int(r["df"])) for r in rows]
 
+    def terms_enum(self, prefix: Optional[str] = None,
+                   regex: Optional[str] = None,
+                   lower: Optional[str] = None, upper: Optional[str] = None,
+                   lower_incl: bool = True, upper_incl: bool = False,
+                   min_count: int = 1, max_count: Optional[int] = None,
+                   limit: int = 10, sort: str = "count") -> DataFrame:
+        """TermsComponent (`[U] solr/core/.../handler/component/
+        TermsComponent.java`): enumerate the term dictionary with the
+        /terms knobs — terms.prefix, terms.regex, terms.lower/upper
+        (+inclusivity), terms.mincount/maxcount, terms.limit and
+        terms.sort (count|index). -> DataFrame(term, df).
+
+        docFreq is the delete-blind sum of per-segment dfs, exactly
+        Lucene's TermsEnum.docFreq() contract. Scale shape: a
+        column-pruned (term, df) scan — prefix and range knobs push
+        down to the parquet term dictionary (StringStartsWith /
+        range PushedFilters); the blobs are never read.
+        """
+        t = self.postings.select("term", "df")
+        if prefix is not None:
+            t = t.filter(F.col("term").startswith(prefix.lower()))
+        if regex is not None:
+            t = t.filter(F.col("term").rlike(regex))
+        if lower is not None:
+            t = t.filter(F.col("term") >= lower if lower_incl
+                         else F.col("term") > lower)
+        if upper is not None:
+            t = t.filter(F.col("term") <= upper if upper_incl
+                         else F.col("term") < upper)
+        g = t.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+        if min_count > 0:
+            g = g.filter(F.col("df") >= min_count)
+        if max_count is not None:
+            g = g.filter(F.col("df") <= max_count)
+        order = ([F.desc("df"), F.asc("term")] if sort == "count"
+                 else [F.asc("term")])
+        return g.orderBy(*order).limit(limit)
+
     # -- spellcheck (`[U] lucene/suggest/src/java/org/apache/lucene/
     # search/spell/DirectSpellChecker.java`): did-you-mean candidates
     # straight from the term dictionary, no separate spell index.

@@ -184,3 +184,34 @@ def test_term_vectors_reanalysis(spark):
     assert not [k for k in rows if k[0] == 1 and k[1] == "spark"]
     only0 = term_vectors(df, [0], analyzer="simple").collect()
     assert {r["doc_id"] for r in only0} == {0}
+
+
+def test_terms_enum_knobs(reader):
+    idx, corpus = reader
+    # prefix + count-sort: superset semantics of suggest()
+    out = idx.terms_enum(prefix="s", limit=5, sort="count").collect()
+    assert out and all(r["term"].startswith("s") for r in out)
+    dfs = [r["df"] for r in out]
+    assert dfs == sorted(dfs, reverse=True)
+    assert [(r["term"], r["df"]) for r in out] == idx.suggest("s", n=5)
+    # regex filter composes with mincount
+    rx = idx.terms_enum(regex="^s.*k$", min_count=1, limit=100).collect()
+    assert rx and all(r["term"].startswith("s") and r["term"].endswith("k")
+                      for r in rx)
+    # max_count bounds df from above; sort=index is term-ascending
+    top_df = max(r["df"] for r in out)
+    capped = idx.terms_enum(max_count=top_df - 1, limit=20,
+                            sort="index").collect()
+    assert all(r["df"] <= top_df - 1 for r in capped)
+    terms = [r["term"] for r in capped]
+    assert terms == sorted(terms)
+    # range bounds honor inclusivity flags
+    lo = idx.terms_enum(lower="spark", upper="spark", upper_incl=True,
+                        limit=5).collect()
+    assert [r["term"] for r in lo] == ["spark"]
+    ex = idx.terms_enum(lower="spark", lower_incl=False, upper="spark",
+                        upper_incl=True, limit=5).collect()
+    assert ex == []
+    # docFreq matches the corpus ground truth for one term
+    truth = corpus.filter(F.col("content").rlike(r"(^|[^a-z0-9_])spark([^a-z0-9_]|$)")).count()
+    assert lo[0]["df"] == truth

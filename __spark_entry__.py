@@ -1038,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- text analysis
     q["text_token_count"] = lambda s, sf: tp.token_count(_docs(s, sf), "text")
     q["text_quality"] = lambda s, sf: tp.quality_score(_docs(s, sf), "text")
+    # Gopher-style repetition rules (Rae et al. 2021): token-stream
+    # reshaping of the dup-line / dup-ngram / top-ngram fractions
+    q["text_repetition"] = lambda s, sf: tp.repetition_score(_docs(s, sf), "text")
     q["text_language_id"] = lambda s, sf: tp.language_id(
         _docs(s, sf), "text"
     ).select("id", "lang_pred", F.round("lang_score", 6).alias("lang_score"))
@@ -2400,6 +2403,44 @@ def oracle_sql() -> dict[str, str]:
                          + 0.3 * (CASE WHEN L > 0 THEN alpha / L ELSE 0 END)
                          + 0.3 * least(1.0, (CASE WHEN nt > 0 THEN ns / nt ELSE 0 END) * 4), 6) AS quality
             FROM m
+        """,
+        # Gopher repetition rules: same tokenizer as text_quality; the
+        # n-gram joins replay Spark's concat_ws(' ', slice) exactly.
+        # Double literals are CAST (DuckDB bare 1.0/2.0 are DECIMAL and
+        # would change the arithmetic type vs Spark's double).
+        "text_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS tk
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+              FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+              WHERE len(tk) >= 2),
+            a2 AS (
+              SELECT doc_id, MAX(c) AS g2_max
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY 1),
+            g3 AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+              FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+              WHERE len(tk) >= 3),
+            a3 AS (
+              SELECT doc_id, SUM(c) AS tot, COUNT(*) AS dis
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   ROUND(CASE WHEN len(tk) > 0
+                         THEN len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                         ELSE CAST(0 AS DOUBLE) END, 6) AS uniq_ratio,
+                   ROUND(COALESCE(CAST(1 AS DOUBLE) - dis / CAST(tot AS DOUBLE),
+                                  CAST(0 AS DOUBLE)), 6) AS dup3_frac,
+                   ROUND(COALESCE(g2_max * CAST(2 AS DOUBLE) / CAST(len(tk) AS DOUBLE),
+                                  CAST(0 AS DOUBLE)), 6) AS top2_frac
+            FROM toks t
+            LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
         """,
         **_ann_oracle_sqls(),
     }

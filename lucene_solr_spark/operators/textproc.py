@@ -476,6 +476,71 @@ def token_count(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1),
+    re-shaped for token streams: unique-token ratio, duplicate-3-gram
+    occurrence fraction, and the token fraction covered by the single
+    most frequent 2-gram.
+
+    Scale shape: the unique-token ratio is a pure array expression (no
+    shuffle); the n-gram stats explode to (doc_id, gram) rows and
+    aggregate with map-side partial combine keyed by doc — the shuffle
+    volume is bounded by token count, the key space by doc_id, so the
+    plan holds at 100 TB (no skew beyond the largest single document).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk")).cache()
+
+    def grams(k: int):
+        # consecutive k-token windows joined with a space; empty when
+        # the doc is shorter than k tokens
+        return F.when(
+            F.size("tk") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("tk", i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def gram_stats(k: int, prefix: str) -> DataFrame:
+        counts = (
+            base.select("id", F.explode(grams(k)).alias("g"))
+            .groupBy("id", "g").count()
+        )
+        return counts.groupBy("id").agg(
+            F.sum("count").alias(f"{prefix}_tot"),
+            F.count(F.lit(1)).alias(f"{prefix}_dis"),
+            F.max("count").alias(f"{prefix}_max"),
+        )
+
+    g2, g3 = gram_stats(2, "g2"), gram_stats(3, "g3")
+    n = F.size("tk").cast("long")
+    out = (
+        base.join(g2, "id", "left").join(g3, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            n.alias("n_tokens"),
+            F.round(
+                F.when(n > 0, F.size(F.array_distinct("tk"))
+                       / n.cast("double")).otherwise(F.lit(0.0)), 6
+            ).alias("uniq_ratio"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("g3_dis") / F.col("g3_tot").cast("double"),
+                    F.lit(0.0)), 6
+            ).alias("dup3_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("g2_max") * F.lit(2.0) / n.cast("double"),
+                    F.lit(0.0)), 6
+            ).alias("top2_frac"),
+        )
+    )
+    return out
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality: length / alpha ratio / stopword ratio /

@@ -177,3 +177,26 @@ def test_fingerprint_vectorized_matches_scalar(spark):
     for i, t in enumerate(texts):
         fp, dig = _fingerprint_scalar(t)
         assert got[i] == (fp[:64], dig), f"doc {i}: {t[:40]!r}"
+
+
+def test_repetition_score(spark):
+    df = spark.createDataFrame([
+        # "a b a b a b": uniq 2/6; 2-grams [ab,ba,ab,ba,ab] -> top "a b"
+        # covers 3*2/6 = 1.0; 3-grams 4 total, 2 distinct -> dup 0.5
+        Row(doc_id=0, text="a b a b a b"),
+        # all-distinct tokens: uniq 1.0, dup3 0.0, top2 covers 2/5
+        Row(doc_id=1, text="v w x y z"),
+        # shorter than 3 tokens: gram stats must coalesce to 0
+        Row(doc_id=2, text="hi there"),
+        Row(doc_id=3, text="solo"),
+    ])
+    rows = {r["doc_id"]: r for r in tp.repetition_score(df, "text").collect()}
+    assert rows[0]["n_tokens"] == 6
+    assert abs(rows[0]["uniq_ratio"] - 2 / 6) < 1e-6
+    assert abs(rows[0]["dup3_frac"] - 0.5) < 1e-6
+    assert abs(rows[0]["top2_frac"] - 1.0) < 1e-6
+    assert rows[1]["uniq_ratio"] == 1.0
+    assert rows[1]["dup3_frac"] == 0.0
+    assert abs(rows[1]["top2_frac"] - 0.4) < 1e-6
+    assert rows[2]["dup3_frac"] == 0.0 and abs(rows[2]["top2_frac"] - 1.0) < 1e-6
+    assert rows[3]["n_tokens"] == 1 and rows[3]["top2_frac"] == 0.0

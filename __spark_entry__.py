@@ -641,6 +641,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _updated_index(s, sf).search("updatemark OR value", k=10))
     q["update_termfreq"] = lambda s, sf: _updated_index(s, sf).termfreq("updatemark")
 
+    # Solr atomic updates (add on content + set on lang, merged against
+    # the stored doc): ranked search over the merged corpus, and the
+    # stored-field merge itself checked via live docmeta
+    q["atomic_bm25_topk"] = lambda s, sf: _rank_topk(
+        _atomic_index(s, sf).search("atomicmark OR spark", k=10))
+
+    def _atomic_meta(s, sf):
+        rdr = _atomic_index(s, sf)
+        max_id = load_documents(s, sf).agg(F.max("doc_id")).collect()[0][0]
+        boundary = (max_id // 128 + 1) * 128
+        return (rdr.docmeta
+                .filter(F.col("path").isin("docs/0.txt", "docs/17.txt",
+                                           "docs/34.txt")
+                        & (F.col("doc_id") >= boundary))
+                .select("repo", "path", "lang",
+                        F.col("dl").cast("long").alias("dl")))
+
+    q["atomic_update_meta"] = _atomic_meta
+
     # realtime /get (RealTimeGetComponent): point-lookup by key on the
     # post-update index — updated keys must answer with the REPLACEMENT
     # version (fresh doc_id, new dl), untouched keys with the original
@@ -1616,6 +1635,72 @@ def _updated_index(s: SparkSession, sf: str) -> IndexReader:
     return rdr
 
 
+#: operand appended by the atomic-update entries ('add' modifier)
+_ATOMIC_MARK = "atomicmark"
+
+
+def _atomic_index(s: SparkSession, sf: str) -> IndexReader:
+    """simple-analyzer index where every doc_id % 17 == 0 has been
+    atomically updated (`[U] solr/core/.../update/processor/
+    AtomicUpdateDocumentMerger.java`): {'content': {'add': 'atomicmark'},
+    'lang': {'set': 'xx'}} merged against the stored doc, then the
+    standard updateDocument path — modeled exactly in SQL by
+    `_atomic_src_sql` (text || ' atomicmark', ids after the boundary)."""
+    from lucene_solr_spark.operators.delete import atomic_update
+
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"idx_v{INDEX_FORMAT_VERSION}_{tag}_simple_atom")
+    m = read_manifest(d)
+    if m is not None and not m.delete_files:
+        # partial-update detection: same replay-divergence guard as
+        # _updated_index (segments past the pristine doc_hi with no
+        # delete file => crashed between the two commits => rebuild)
+        import shutil
+        n_docs = load_documents(s, sf).count()
+        pristine_hi = ((n_docs + 127) // 128) * 128
+        if any(seg["doc_base"] >= pristine_hi for seg in m.segments):
+            shutil.rmtree(d)
+            m = None
+    if m is None:
+        build_index(s, load_source_table(s, sf), d,
+                    docs_per_seg=128, analyzer="simple")
+    m = read_manifest(d)
+    if not m.delete_files:
+        src = load_source_table(s, sf)
+        mods = (src.filter(F.col("doc_id") % 17 == 0)
+                .select("repo", "path",
+                        F.lit(_ATOMIC_MARK).alias("content"),
+                        F.lit("xx").alias("lang")))
+        atomic_update(s, d, src, mods,
+                      {"content": "add", "lang": "set"})
+    key = (d, "simple_atom")
+    rdr = _INDEX_CACHE.get(key)
+    if rdr is None:
+        rdr = IndexReader(s, d)
+        _INDEX_CACHE[key] = rdr
+    return rdr
+
+
+def _atomic_src_sql() -> str:
+    """Post-atomic-update corpus in SQL: originals UNION the merged
+    replacements (stored text + ' atomicmark'), ids allocated after the
+    construction boundary in (repo, path) rank order."""
+    return f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {_UPD_BOUNDARY_SQL} + ROW_NUMBER() OVER (ORDER BY repo, path) - 1
+               AS doc_id,
+             text || ' {_ATOMIC_MARK}' AS text
+      FROM (SELECT 'corpus/' || source AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, text
+            FROM documents WHERE doc_id % 17 = 0)
+    """
+
+
+#: liveDocs predicate of the atomic index
+_ATOMIC_LIVE_SQL = f"(doc_id % 17 != 0 OR doc_id >= {_UPD_BOUNDARY_SQL})"
+
+
 def _updated_src_sql() -> str:
     """The post-update corpus modeled in SQL: original docs UNION the
     deterministic replacements with their allocated ids (row_number in
@@ -2045,6 +2130,19 @@ def oracle_sql() -> dict[str, str]:
         "update_bm25_topk": _bm25_sql_disjunction(
             [("updatemark", 1.0), ("value", 1.0)], live=_UPD_LIVE_SQL,
             src_sql=_updated_src_sql()),
+        "atomic_bm25_topk": _bm25_sql_disjunction(
+            [("atomicmark", 1.0), ("spark", 1.0)], live=_ATOMIC_LIVE_SQL,
+            src_sql=_atomic_src_sql()),
+        # stored-field merge: lang set to 'xx', dl = original simple
+        # token count + the one appended operand token
+        "atomic_update_meta": """
+            SELECT 'corpus/' || source AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   'xx' AS lang,
+                   CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                        t -> t != '')) + 1 AS BIGINT) AS dl
+            FROM documents WHERE doc_id IN (0, 17, 34)
+        """,
         "update_termfreq": f"""
             WITH src AS ({_updated_src_sql()})
             SELECT doc_id, tf FROM (

@@ -184,6 +184,73 @@ def update_documents(spark: SparkSession, index_dir: str,
     return delete_documents(spark, index_dir, old_ids)
 
 
+def atomic_update(spark: SparkSession, index_dir: str,
+                  source: DataFrame, mods: DataFrame,
+                  ops: dict, key_cols: Sequence[str] = ("repo", "path")) -> Manifest:
+    """Solr atomic updates (`[U] solr/core/src/java/org/apache/solr/
+    update/processor/AtomicUpdateDocumentMerger.java`): partial-document
+    updates expressed as field modifiers, merged against the STORED
+    document and re-indexed whole — Solr requires stored (or docValues)
+    fields for atomic updates; ``source`` plays that stored-field store.
+
+    ``mods``: key_cols + one operand column per modified field (a null
+    operand leaves that doc's field unchanged). ``ops``: {field: op}
+    with op in {'set', 'add', 'inc', 'remove'}:
+      set    — replace the field value
+      add    — append (space-joined) to a text field
+      inc    — numeric increment
+      remove — regex-delete occurrences from a text field
+    Only docs whose key matches an existing stored doc are updated
+    (no createIfAbsent here; use build_index/update_documents to add).
+
+    Scale shape: one broadcast-or-shuffle equi-join of mods against the
+    stored table on the application key, pure column expressions for
+    the merge, then the standard updateDocument path (append segments +
+    tombstone by key) — no per-row Python, no driver materialization.
+    """
+    return update_documents(
+        spark, index_dir, merge_atomic_ops(source, mods, ops, key_cols),
+        key_cols)
+
+
+def merge_atomic_ops(source: DataFrame, mods: DataFrame, ops: dict,
+                     key_cols: Sequence[str] = ("repo", "path")) -> DataFrame:
+    """The pure stored-document merge step of `atomic_update` (the
+    AtomicUpdateDocumentMerger itself): join mods to the stored docs on
+    the application key and apply the field modifiers as column
+    expressions. Returns the merged full documents (doc_id dropped —
+    the caller's update path allocates fresh ids)."""
+    unknown = set(ops) - set(source.columns)
+    if unknown:
+        raise ValueError(f"atomic_update ops on non-stored fields: {unknown}")
+    renamed = mods.select(
+        *key_cols, *[F.col(f).alias(f"__mod_{f}") for f in ops])
+    joined = source.join(renamed, list(key_cols), "inner")
+    merged_cols = []
+    for c in source.columns:
+        if c == "doc_id":
+            continue  # update_documents allocates fresh ids
+        if c in ops:
+            op, mc = ops[c], F.col(f"__mod_{c}")
+            if op == "set":
+                expr = F.coalesce(mc, F.col(c))
+            elif op == "add":
+                expr = F.when(mc.isNotNull(),
+                              F.concat_ws(" ", F.col(c), mc)).otherwise(F.col(c))
+            elif op == "inc":
+                expr = F.col(c) + F.coalesce(mc, F.lit(0))
+            elif op == "remove":
+                expr = F.when(mc.isNotNull(),
+                              F.regexp_replace(F.col(c), mc, F.lit(""))
+                              ).otherwise(F.col(c))
+            else:
+                raise ValueError(f"unknown atomic op {op!r} for field {c!r}")
+            merged_cols.append(expr.alias(c))
+        else:
+            merged_cols.append(F.col(c))
+    return joined.select(*merged_cols)
+
+
 def allocate_doc_ids(spark: SparkSession, new_rows: DataFrame,
                      key_cols: Sequence[str], next_id: int):
     """Contiguous doc_ids = ``next_id`` + global rank by ``key_cols``,

@@ -276,3 +276,55 @@ def test_distributed_delete_write_path(spark, corpus, tmp_path, monkeypatch):
     assert {r["doc_id"] for r in deleted_ids_df(spark, d, m).collect()} == victim_ids
     rdr = IndexReader(spark, d)                     # over-cap -> anti-join mask
     assert rdr.count("spark") == rdr0.count("spark") - len(victim_ids)
+
+
+def test_merge_atomic_ops_all_modifiers(spark):
+    from pyspark.sql import Row
+    from lucene_solr_spark.operators.delete import merge_atomic_ops
+
+    src = spark.createDataFrame([
+        Row(doc_id=0, repo="r", path="a", content="alpha beta alpha",
+            lang="en", n=10),
+        Row(doc_id=1, repo="r", path="b", content="gamma delta",
+            lang="de", n=3),
+        Row(doc_id=2, repo="r", path="c", content="untouched",
+            lang="fr", n=7),
+    ])
+    mods = spark.createDataFrame([
+        # null operand on lang leaves doc a's lang unchanged
+        Row(repo="r", path="a", content="extra", lang=None, n=5),
+        Row(repo="r", path="b", content=None, lang="xx", n=None),
+    ])
+    out = {r["path"]: r for r in merge_atomic_ops(
+        src, mods,
+        {"content": "add", "lang": "set", "n": "inc"}).collect()}
+    assert set(out) == {"a", "b"}  # no createIfAbsent: c untouched
+    assert "doc_id" not in next(iter(out.values())).asDict()
+    assert out["a"]["content"] == "alpha beta alpha extra"
+    assert out["a"]["lang"] == "en" and out["a"]["n"] == 15
+    assert out["b"]["content"] == "gamma delta"
+    assert out["b"]["lang"] == "xx" and out["b"]["n"] == 3
+    # remove: regex-delete occurrences
+    rm = {r["path"]: r for r in merge_atomic_ops(
+        src, spark.createDataFrame([Row(repo="r", path="a", content="alpha ?")]),
+        {"content": "remove"}).collect()}
+    assert rm["a"]["content"] == "beta "
+    with pytest.raises(ValueError):
+        merge_atomic_ops(src, mods, {"nope": "set"})
+    with pytest.raises(ValueError):
+        merge_atomic_ops(src, mods, {"content": "frobnicate"}).collect()
+
+
+def test_atomic_update_end_to_end(spark, corpus, tmp_path):
+    from lucene_solr_spark.operators.delete import atomic_update
+
+    d = str(tmp_path / "atom")
+    build_index(spark, corpus, d, docs_per_seg=128)
+    src = corpus
+    mods = (src.filter(F.col("doc_id") % 50 == 0)
+            .select("repo", "path", F.lit("zzatomzz").alias("content")))
+    atomic_update(spark, d, src, mods, {"content": "add"})
+    rdr = IndexReader(spark, d)
+    n_mod = src.filter(F.col("doc_id") % 50 == 0).count()
+    hits = rdr.termfreq("zzatomzz").collect()
+    assert len(hits) == n_mod and all(r["tf"] == 1 for r in hits)

@@ -293,6 +293,43 @@ def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0"
             + _bm25_rank_tail(scored, k, live, start))
 
 
+def _rerank_sql(main_terms, rr_term: str, rerank_docs: int, weight: float,
+                k: int = 10, chain: str = "tk0",
+                src_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """{!rerank} oracle: main disjunction's top-``rerank_docs`` window
+    (rank ties by doc_id, same as the engine's global merge), each
+    window doc rescored main + weight * rerankScore in REAL (float32)
+    arithmetic — docs outside the rerank query keep the main score."""
+    n = len(main_terms)
+    ctes = "".join(_bm25_term_ctes(i, t, b)
+                   for i, (t, b) in enumerate(main_terms))
+    ctes += _bm25_term_ctes(n, rr_term, 1.0)
+    union = " UNION ".join(f"SELECT doc_id FROM s{i}" for i in range(n))
+    acc = "COALESCE(s0.sc, CAST(0 AS REAL))"
+    for i in range(1, n):
+        acc = f"({acc} + COALESCE(s{i}.sc, CAST(0 AS REAL)))"
+    joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(n))
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain,
+                                 src=src_sql) + ctes + f""",
+    mainsc AS (SELECT al.doc_id, {acc} AS sc
+               FROM (SELECT doc_id FROM ({union})) al{joins}),
+    win AS (SELECT doc_id, sc FROM (
+              SELECT doc_id, sc,
+                     ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rnk
+              FROM mainsc) WHERE rnk <= {rerank_docs}),
+    comb AS (SELECT w.doc_id,
+                    CAST(w.sc + CAST(CAST({weight!r} AS REAL)
+                         * COALESCE(s{n}.sc, CAST(0 AS REAL)) AS REAL)
+                         AS REAL) AS sc
+             FROM win w LEFT JOIN s{n} USING (doc_id))
+    SELECT rank, doc_id, score_r FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank,
+             ROUND(CAST(sc AS DOUBLE), 4) AS score_r
+      FROM comb
+    ) WHERE rank <= {k} ORDER BY rank""")
+
+
 def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0",
                           src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
@@ -604,6 +641,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ltr_rerank_topk"] = lambda s, sf: ltr.ltr_rerank_bm25(
         _index_for(s, sf, analyzer="simple"), "content:spark",
         {"bm25": 0.7, "log_dl": 0.1, "recency": 0.2})
+
+    # {!rerank}: main-query top-30 window rescored as
+    # main + 2.0 * rerankScore (float32 QueryRescorer combine)
+    q["rerank_window_topk"] = lambda s, sf: _rank_topk(
+        ltr.rerank_query(_index_for(s, sf, analyzer="simple"),
+                         "spark OR merge", "vector",
+                         k=10, rerank_docs=30, rerank_weight=2.0))
 
     # ---- EnglishAnalyzer chain (SURVEY §2.2: possessive -> stop ->
     # Porter): ranked with a full SQL oracle (stem map embedded from
@@ -1782,6 +1826,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
         "ltr_rerank_topk": _ltr_sql("spark", 0.7, 0.1, 0.2),
+        "rerank_window_topk": _rerank_sql(
+            [("spark", 1.0), ("merge", 1.0)], "vector",
+            rerank_docs=30, weight=2.0, k=10),
         "edismax_qf_topk": _edismax_sql(
             ["spark", "docs"], {"content": 2.0, "path_text": 1.0},
             tie=0.1, mm=1),

@@ -63,3 +63,37 @@ def ltr_rerank_bm25(reader, query: str, weights: Dict[str, float],
         "doc_id", F.round("ltr_score", 4).alias("ltr_score_r"),
         F.round("bm25", 4).alias("bm25_r"),
     )
+
+
+def rerank_query(reader, main_query, rr_query, k: int = 10,
+                 rerank_docs: int = 50, rerank_weight: float = 2.0) -> DataFrame:
+    """Solr {!rerank} (`[U] solr/core/src/java/org/apache/solr/search/
+    ReRankQParserPlugin.java` + ReRankCollector): take the main query's
+    top ``rerank_docs`` window, rescore each window doc as
+    ``mainScore + reRankWeight * rerankScore`` (float32, Lucene's
+    QueryRescorer combine; docs not matching the rerank query keep the
+    main score), and return the top-k of the window by the new score.
+
+    Scale shape: the window is bounded by ``rerank_docs`` (a request
+    parameter — the same driver-side footprint as a top-k result), so
+    the rerank query is scored distributed but immediately filtered to
+    the window ids before any merge; the final combine runs on
+    ``rerank_docs`` rows.
+    """
+    window = reader.search(main_query, k=rerank_docs).collect()
+    ids = [int(r["doc_id"]) for r in window]
+    spark = reader.spark
+    wdf = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in window],
+        "doc_id long, score float")
+    rr = (reader.score_all(rr_query)
+          .filter(F.col("doc_id").isin(ids))
+          .withColumnRenamed("score", "rr"))
+    combined = wdf.join(rr, "doc_id", "left").select(
+        "doc_id",
+        (F.col("score")
+         + (F.lit(float(rerank_weight)).cast("float")
+            * F.coalesce(F.col("rr"), F.lit(0.0).cast("float"))
+            ).cast("float")).cast("float").alias("score"),
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -215,3 +215,28 @@ def test_terms_enum_knobs(reader):
     # docFreq matches the corpus ground truth for one term
     truth = corpus.filter(F.col("content").rlike(r"(^|[^a-z0-9_])spark([^a-z0-9_]|$)")).count()
     assert lo[0]["df"] == truth
+
+
+def test_rerank_query_window_semantics(reader):
+    from lucene_solr_spark.operators.ltr import rerank_query
+
+    idx, _ = reader
+    out = rerank_query(idx, "spark OR merge", "vector",
+                       k=10, rerank_docs=20, rerank_weight=5.0).collect()
+    assert len(out) == 10
+    win = {r["doc_id"]: r["score"]
+           for r in idx.search("spark OR merge", k=20).collect()}
+    # docs never leave the main window (ReRankCollector contract)
+    assert all(r["doc_id"] in win for r in out)
+    rr = {r["doc_id"]: r["score"]
+          for r in idx.score_all("vector").collect()}
+    import numpy as np
+    for r in out:
+        exp = np.float32(win[r["doc_id"]]) + np.float32(
+            np.float32(5.0) * np.float32(rr.get(r["doc_id"], 0.0)))
+        assert abs(r["score"] - float(exp)) < 1e-6
+    # weight 0 reduces to the main ranking
+    base = rerank_query(idx, "spark OR merge", "vector",
+                        k=10, rerank_docs=20, rerank_weight=0.0).collect()
+    main = idx.search("spark OR merge", k=10).collect()
+    assert [r["doc_id"] for r in base] == [r["doc_id"] for r in main]

@@ -62,6 +62,27 @@ def _index_for(spark: SparkSession, sf_dir: str, analyzer: str = "standard") -> 
     return rdr
 
 
+def _wd_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """WordDelimiterGraphFilter index over the filename-ish field
+    ``repo || ' ' || path`` ("corpus/srcN docs/M.txt") — the classic
+    Solr use (splitting product codes / paths / camelCase identifiers
+    into searchable parts). Chain: WhitespaceTokenizer -> WDGF ->
+    LowerCaseFilter (Solr's text_en_splitting field type)."""
+    key = (sf_dir, "word_delimiter")
+    rdr = _INDEX_CACHE.get(key)
+    if rdr is None:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        d = os.path.join(WORK_DIR, f"idx_v{INDEX_FORMAT_VERSION}_{tag}_wd")
+        if read_manifest(d) is None:
+            src = load_source_table(spark, sf_dir).withColumn(
+                "pathname", F.concat_ws(" ", F.col("repo"), F.col("path")))
+            build_index(spark, src, d, docs_per_seg=128,
+                        analyzer="word_delimiter", field_name="pathname")
+        rdr = IndexReader(spark, d)
+        _INDEX_CACHE[key] = rdr
+    return rdr
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for a disjunction, stored fields fetched."""
     idx = _index_for(spark, "/root/testdata/sf0.001")
@@ -229,6 +250,43 @@ def _phonetic_chain() -> str:
     )
     return (f"flatten(list_transform(tk0, "
             f"t -> CASE t {cases} ELSE [t] END))")
+
+
+#: the word_delimiter index's field, reconstructed from the documents
+#: table exactly as sources.load_source_table + _wd_index derive it
+_WD_PATHNAME = ("concat('corpus/', source, ' docs/', "
+                "CAST(doc_id AS VARCHAR), '.txt')")
+
+
+def _wd_cascade(expr: str) -> str:
+    """DuckDB replica of analysis.word_delimiter_parts: insert a space
+    at every WDGF split point (UPPER-run|Upper+lower, lower->UPPER,
+    digit<->letter) so the prelude's lower+split tokenization then
+    yields the same parts. The possessive-strip rule is omitted HERE
+    only because the pathname field contains no apostrophes by
+    construction (engine-side rule is pinned by pytest)."""
+    e = f"regexp_replace({expr}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')"
+    e = f"regexp_replace({e}, '([a-z])([A-Z])', '\\1 \\2', 'g')"
+    e = f"regexp_replace({e}, '([0-9])([A-Za-z])', '\\1 \\2', 'g')"
+    e = f"regexp_replace({e}, '([A-Za-z])([0-9])', '\\1 \\2', 'g')"
+    return e
+
+
+def _wd_src_sql() -> str:
+    return (f"SELECT doc_id, {_wd_cascade(_WD_PATHNAME)} AS text "
+            "FROM documents")
+
+
+def _cg_chain() -> str:
+    """DuckDB expression mirroring the common_grams emitter on tk0:
+    unigrams plus 'a_b' grams for adjacent pairs touching a common
+    word (the word set is generated FROM the shared analysis.COMMON_WORDS)."""
+    from lucene_solr_spark.analysis import COMMON_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(COMMON_WORDS))
+    return ("list_concat(tk0, [tk0[i] || '_' || tk0[i+1] "
+            "FOR i IN range(1, len(tk0)) "
+            f"IF (tk0[i] IN ({stops}) OR tk0[i+1] IN ({stops}))])")
 
 
 def _bm25_term_ctes(i: int, term: str, boost: float) -> str:
@@ -672,6 +730,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _index_for(s, sf, analyzer="phonetic").search("spork", k=10))
     q["phonetic_termfreq"] = lambda s, sf: _index_for(
         s, sf, analyzer="phonetic").termfreq("S162")
+    # WordDelimiterGraphFilter over the filename field: "corpus/src17"
+    # splits at the letter->digit boundary, so the bare source number
+    # "17" is searchable; "txt" (every doc) exercises the low-idf side
+    q["word_delimiter_termfreq"] = lambda s, sf: _wd_index(s, sf).termfreq("17")
+    q["bm25_word_delimiter_topk"] = lambda s, sf: _rank_topk(
+        _wd_index(s, sf).search("17 OR txt", k=10))
+    # CommonGramsFilter: adjacent pairs touching a common word are also
+    # indexed as one "a_b" term — the phrase "the line" answered by a
+    # single posting list instead of a positional join
+    q["common_grams_termfreq"] = lambda s, sf: _index_for(
+        s, sf, analyzer="common_grams").termfreq("the_line")
+    q["bm25_common_grams_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="common_grams").search(
+            "the_line OR a_row", k=10))
 
     # ---- deletes (SURVEY §2.3 updateDocument/PendingDeletes):
     # tombstoned ids must vanish from ranking and termfreq while stats
@@ -2172,6 +2244,37 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ) WHERE tf > 0
         """,
+        "word_delimiter_termfreq": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower({_wd_cascade(_WD_PATHNAME)}), '[^a-z0-9]+'),
+                         t -> t != '') AS tk
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              SELECT doc_id, len(list_filter(tk, t -> t = '17')) AS tf
+              FROM toks
+            ) WHERE tf > 0
+        """,
+        "bm25_word_delimiter_topk": _bm25_sql_disjunction(
+            [("17", 1.0), ("txt", 1.0)], src_sql=_wd_src_sql()),
+        "common_grams_termfreq": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              -- gram emitted iff either member is a common word; 'the'
+              -- is one, so tf('the_line') = adjacency count
+              SELECT doc_id,
+                     len([i FOR i IN range(1, len(tk))
+                          IF tk[i] = 'the' AND tk[i+1] = 'line']) AS tf
+              FROM toks
+            ) WHERE tf > 0
+        """,
+        "bm25_common_grams_topk": _bm25_sql_disjunction(
+            [("the_line", 1.0), ("a_row", 1.0)], chain=_cg_chain()),
         "delete_bm25_topk": _bm25_sql_disjunction(
             [("spark", 1.0), ("merge", 1.0)], live="doc_id % 7 != 0"),
         "update_bm25_topk": _bm25_sql_disjunction(

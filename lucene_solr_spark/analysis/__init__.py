@@ -79,7 +79,9 @@ _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
               "shingle": TOKEN_RE,
               "edge_ngram": TOKEN_RE,
               "synonym_demo": TOKEN_RE,
-              "phonetic": TOKEN_RE}
+              "phonetic": TOKEN_RE,
+              "word_delimiter": re.compile(r"\S+"),
+              "common_grams": TOKEN_RE}
 
 # EdgeNGram bounds (`[U] lucene/analysis/common/.../ngram/
 # EdgeNGramTokenFilter.java`): emit prefixes of length min..max per
@@ -152,6 +154,68 @@ def _emit_synonym(raw):
     return out
 
 
+_WD_ALNUM_RE = re.compile(r"[A-Za-z]+|[0-9]+")
+_WD_CASE_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z]?[a-z]+")
+
+
+def word_delimiter_parts(tok: str) -> List[str]:
+    """WordDelimiterGraphFilter subword split (`[U] lucene/analysis/
+    common/.../miscellaneous/WordDelimiterGraphFilter.java`, Solr
+    text_en_splitting defaults: generateWordParts=generateNumberParts=
+    splitOnCaseChange=splitOnNumerics=stemEnglishPossessive=1,
+    catenate*=preserveOriginal=0). Split points: non-alphanumerics,
+    letter<->digit transitions, and lower->UPPER case changes; an
+    UPPER-run followed by Upper+lower keeps the run and starts the new
+    part at its last capital (``PowerSQLShot`` -> Power, SQL, Shot).
+    ASCII subset (documented: the driver corpus is ASCII; Lucene's
+    full Unicode WordDelimiterIterator tables are out of scope)."""
+    if len(tok) > 2 and tok[-1] in "sS" and tok[-2] in "'’":
+        tok = tok[:-2]  # stemEnglishPossessive
+    out: List[str] = []
+    for run in _WD_ALNUM_RE.findall(tok):
+        if run[0].isdigit():
+            out.append(run)
+        else:
+            out.extend(_WD_CASE_RE.findall(run))
+    return out
+
+
+def _emit_word_delimiter(raw):
+    """Whitespace tokens -> WDGF parts -> LowerCaseFilter. Each part
+    occupies its own consecutive position (the graph filter advances
+    posIncr per generated subword when catenate/preserve are off)."""
+    out = []
+    pos = 0
+    for t in raw:
+        for part in word_delimiter_parts(t):
+            out.append((part.lower(), pos))
+            pos += 1
+    return out
+
+
+#: CommonGramsFilter word set (`[U] lucene/analysis/common/.../
+#: commongrams/CommonGramsFilter.java`): Solr ships it with the
+#: stopword list as `words`; the classic English stop set is reused so
+#: engine and oracle share one table.
+COMMON_WORDS = ENGLISH_STOP_WORDS
+COMMON_GRAM_SEP = "_"
+
+
+def _emit_common_grams(raw):
+    """CommonGramsFilter (QueryParser side NOT modeled — index-time
+    emission only): every unigram is kept, and each adjacent pair where
+    either member is a common word also emits ``a_b`` at the FIRST
+    token's position (posIncr 0 on the gram), so a phrase like
+    "the line" can be answered by one posting list."""
+    out = [(t, i) for i, t in enumerate(raw)]
+    for i in range(len(raw) - 1):
+        a, b = raw[i], raw[i + 1]
+        if a in COMMON_WORDS or b in COMMON_WORDS:
+            out.append((f"{a}{COMMON_GRAM_SEP}{b}", i))
+    out.sort(key=lambda p: p[1])
+    return out
+
+
 _SOUNDEX_CODE = {}
 for _grp, _dig in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
                    ("l", "4"), ("mn", "5"), ("r", "6")):
@@ -206,7 +270,13 @@ def _emit_phonetic(raw):
 #: These route through the explicit-positions build path (like stop
 #: gaps); dl = number of EMITTED tokens (FieldInvertState semantics).
 _EMITTERS = {"shingle": _emit_shingle, "edge_ngram": _emit_edge_ngram,
-             "synonym_demo": _emit_synonym, "phonetic": _emit_phonetic}
+             "synonym_demo": _emit_synonym, "phonetic": _emit_phonetic,
+             "word_delimiter": _emit_word_delimiter,
+             "common_grams": _emit_common_grams}
+
+#: emitters whose output stream is strictly one term per position (no
+#: stacking) — phrase queries can use the emitted stream directly.
+_LINEAR_EMITTERS = frozenset({"word_delimiter"})
 
 # EnglishAnalyzer chain (`[U] lucene/analysis/common/.../en/
 # EnglishAnalyzer.java`): StandardTokenizer -> EnglishPossessiveFilter
@@ -294,8 +364,11 @@ def _raw_tokens(text: str, analyzer: str) -> List[str]:
     if analyzer == "ascii_folding":
         text = _fold_ascii(text)
     pattern = _ANALYZERS[analyzer]
-    if analyzer == "whitespace":
-        raw = pattern.findall(text)  # WhitespaceAnalyzer: no lowercase
+    if analyzer in ("whitespace", "word_delimiter"):
+        # WhitespaceTokenizer: no lowercase (word_delimiter's case-
+        # change splits need the original case; its emitter lowercases
+        # the parts afterwards, mirroring WDGF -> LowerCaseFilter)
+        raw = pattern.findall(text)
     else:
         raw = pattern.findall(text.lower())
     if analyzer == "english":
@@ -318,6 +391,9 @@ def tokenize_for_phrase(text: str, analyzer: str = "standard") -> List[str]:
     if analyzer in _EMITTERS:
         if text is None:
             return []
+        if analyzer in _LINEAR_EMITTERS:
+            # one term per position: the emitted stream IS the phrase
+            return tokenize(text, analyzer)
         return _raw_tokens(text, analyzer)
     return tokenize(text, analyzer)
 

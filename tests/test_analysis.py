@@ -266,3 +266,71 @@ def test_phonetic_index_matches_misspelled_query(spark, tmp_path):
     assert {doc for doc, _ in idx.search_with_total("spork", k=10)[0]} == {0}
     # codes do not cross-match unrelated words
     assert {doc for doc, _ in idx.search_with_total("merge", k=10)[0]} == {1}
+
+
+def test_word_delimiter_parts_battery():
+    """WDGF subword rules (`[U] lucene/analysis/common/.../miscellaneous/
+    WordDelimiterGraphFilter.java` javadoc examples, text_en_splitting
+    defaults): case/number splits, UPPER-run boundary, possessive."""
+    from lucene_solr_spark.analysis import word_delimiter_parts
+
+    for tok, exp in [("Wi-Fi", ["Wi", "Fi"]),
+                     ("PowerShot", ["Power", "Shot"]),
+                     ("SD500", ["SD", "500"]),
+                     ("500x", ["500", "x"]),
+                     ("XLTransformer", ["XL", "Transformer"]),
+                     ("O'Neil's", ["O", "Neil"]),
+                     ("j2se", ["j", "2", "se"]),
+                     ("src17", ["src", "17"]),
+                     ("ALLCAPS", ["ALLCAPS"]),
+                     ("hello", ["hello"]),
+                     ("42", ["42"])]:
+        assert word_delimiter_parts(tok) == exp, tok
+
+
+def test_word_delimiter_stream():
+    """Whitespace tokenize -> WDGF -> lowercase; parts occupy
+    consecutive positions (catenate/preserve off), so phrases see the
+    emitted stream one term per position."""
+    from lucene_solr_spark.analysis import analyze, tokenize, tokenize_for_phrase
+
+    assert analyze("corpus/src17 docs/423.txt", "word_delimiter") == [
+        ("corpus", 0), ("src", 1), ("17", 2),
+        ("docs", 3), ("423", 4), ("txt", 5)]
+    assert tokenize("PowerShot SD500", "word_delimiter") == \
+        ["power", "shot", "sd", "500"]
+    assert tokenize_for_phrase("PowerShot SD500", "word_delimiter") == \
+        ["power", "shot", "sd", "500"]
+
+
+def test_common_grams_stream():
+    """CommonGramsFilter: unigrams all kept; 'a_b' gram emitted at the
+    FIRST token's position iff either member is a common word."""
+    from lucene_solr_spark.analysis import analyze, tokenize
+
+    assert analyze("the line sort", "common_grams") == [
+        ("the", 0), ("the_line", 0), ("line", 1), ("sort", 2)]
+    assert analyze("sort a row", "common_grams") == [
+        ("sort", 0), ("sort_a", 0), ("a", 1), ("a_row", 1), ("row", 2)]
+    assert tokenize("the line", "common_grams") == ["the", "the_line", "line"]
+
+
+def test_word_delimiter_index_search(spark, tmp_path):
+    """e2e: number part of a filename-ish field is searchable after
+    WDGF splitting; unsplit query terms stay single terms."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+
+    src = spark.createDataFrame(
+        [(0, "r", "p", "c", "t", "shots/PowerShot-SD500.jpg"),
+         (1, "r", "p", "c", "t", "shots/IXUS300.jpg"),
+         (2, "r", "p", "c", "t", "notes/readme.txt")],
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string")
+    d = str(tmp_path / "wd")
+    build_index(spark, src, d, docs_per_seg=4, analyzer="word_delimiter")
+    idx = IndexReader(spark, d)
+    assert {doc for doc, _ in idx.search_with_total("500", k=10)[0]} == {0}
+    assert {doc for doc, _ in idx.search_with_total("jpg", k=10)[0]} == {0, 1}
+    assert {doc for doc, _ in
+            idx.search_with_total("powershot", k=10)[0]} == set()

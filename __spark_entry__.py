@@ -351,6 +351,43 @@ def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0"
             + _bm25_rank_tail(scored, k, live, start))
 
 
+def _elevation_sql(terms, elevate_ids, exclude_ids, k: int = 10) -> str:
+    """QueryElevationComponent oracle: the BM25 disjunction's full
+    match set, excluded ids dropped, elevated ids pinned first in
+    config order (score 0 when unmatched), rest by (sc DESC, doc_id)."""
+    ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
+    union = " UNION ".join(f"SELECT doc_id FROM s{i}" for i in range(len(terms)))
+    acc = "COALESCE(s0.sc, CAST(0 AS REAL))"
+    for i in range(1, len(terms)):
+        acc = f"({acc} + COALESCE(s{i}.sc, CAST(0 AS REAL)))"
+    joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(len(terms)))
+    excl = ", ".join(str(int(i)) for i in exclude_ids)
+    elev_vals = ", ".join(f"({int(d)}, {r})" for r, d in enumerate(elevate_ids))
+    scored = (f"SELECT al.doc_id, {acc} AS sc FROM "
+              f"(SELECT doc_id FROM ({union})) al{joins}"
+              + (f" WHERE al.doc_id NOT IN ({excl})" if excl else ""))
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0",
+                                 src="SELECT doc_id, text FROM documents")
+            + ctes + f""",
+    scored AS ({scored}),
+    elev(doc_id, pos) AS (VALUES {elev_vals}),
+    base AS (
+      SELECT e.doc_id, COALESCE(s.sc, CAST(0 AS REAL)) AS sc,
+             e.pos AS pos, TRUE AS elevated
+      FROM elev e LEFT JOIN scored s ON e.doc_id = s.doc_id
+      UNION ALL
+      SELECT doc_id, sc, NULL, FALSE FROM scored
+      WHERE doc_id NOT IN (SELECT doc_id FROM elev)
+    )
+    SELECT rank, doc_id, score_r, elevated FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY elevated DESC, pos ASC NULLS LAST,
+                                sc DESC, doc_id) AS rank,
+             ROUND(CAST(sc AS DOUBLE), 4) AS score_r, elevated
+      FROM base
+    ) WHERE rank <= {k} ORDER BY rank""")
+
+
 def _rerank_sql(main_terms, rr_term: str, rerank_docs: int, weight: float,
                 k: int = 10, chain: str = "tk0",
                 src_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -1056,6 +1093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 2 (strictly-past-cursor top-rows, never a start+rows-deep sort)
     # cross-joined with the lang facet digest over the match set
     q["solr_select_edismax"] = _solr_select_edismax
+    # QueryElevationComponent: editorial pins in config order (7 then
+    # 2, score 0 when unmatched), id 1 excluded, rest by score
+    q["elevation_topk"] = lambda s, sf: sel.query_elevation(
+        _index_for(s, sf, analyzer="simple"), "spark OR merge",
+        elevate_ids=(7, 2), exclude_ids=(1,), k=10)
 
     # ---- streaming-expression TEXT front door (SURVEY §2.9,
     # StreamExpressionParser): parse the Solr text form, compose the
@@ -1121,6 +1163,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .orderBy(F.desc("decay_boost"), F.asc("o_orderkey"))
         .limit(20)
+    )
+    # {!frange} FunctionRangeQParser: function-valued range filter,
+    # exclusive upper bound exercised; predicate stays codegen'd JVM
+    q["frange_orders"] = lambda s, sf: (
+        _t(s, sf, "orders")
+        .filter(fp.local_params_filter(
+            "{!frange l=100000 u=150000 incu=false}div(o_totalprice,2)"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum(F.col("o_totalprice")), 2).alias("sum_price"))
+    )
+    # {!terms} TermsQParser: literal set-membership filter -> IN, which
+    # reaches the parquet scan as a PushedFilter
+    q["terms_filter_parts"] = lambda s, sf: (
+        _t(s, sf, "part")
+        .filter(fp.local_params_filter("{!terms f=p_brand}Brand#2,Brand#17"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
     )
 
     # ---- dedup (training-data pipeline; SURVEY.md §2 + task brief)
@@ -1910,6 +1971,9 @@ def oracle_sql() -> dict[str, str]:
         "solr_select_edismax": _select_edismax_sql(
             ["spark", "docs"], {"content": 2.0, "path_text": 1.0},
             tie=0.1, mm=1, fq_term="join", rank_lo=6, rank_hi=10),
+        "elevation_topk": _elevation_sql(
+            [("spark", 1.0), ("merge", 1.0)],
+            elevate_ids=(7, 2), exclude_ids=(1,)),
         "bm25_english_topk": _bm25_sql_disjunction(
             [("merg", 1.0), ("sort", 1.0)], chain=_english_chain()),
         "english_termfreq": f"""
@@ -2191,6 +2255,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY 1.0/(0.00001*ABS(o_totalprice-250000.0)+1.0) DESC, o_orderkey
             LIMIT 20
+        """,
+        "frange_orders": """
+            SELECT o_orderstatus, COUNT(*) AS cnt,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_totalprice/2.0 >= 100000.0 AND o_totalprice/2.0 < 150000.0
+            GROUP BY o_orderstatus
+        """,
+        "terms_filter_parts": """
+            SELECT p_brand, COUNT(*) AS cnt,
+                   ROUND(AVG(p_retailprice), 6) AS avg_price
+            FROM part
+            WHERE p_brand IN ('Brand#2', 'Brand#17')
+            GROUP BY p_brand
         """,
         "shingle_termfreq": r"""
             WITH toks AS (

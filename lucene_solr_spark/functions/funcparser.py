@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from . import valuesource as vs
 
 __all__ = ["parse_function_query", "apply_function_query",
+           "parse_local_params", "local_params_filter",
            "FunctionQueryError"]
 
 
@@ -276,3 +277,58 @@ def apply_function_query(df: DataFrame, text: str,
         df = df.join(sub.select(key, F.col(score_col).alias(alias)),
                      key, "left")
     return df.withColumn(out_col, col).drop(*p.used.values())
+
+
+# ------------------------------------------------------- local params
+
+_LOCAL_RE = re.compile(
+    r"^\{!(?P<type>\w+)(?P<params>(?:\s+[\w.]+=(?:'[^']*'|\"[^\"]*\"|\S+?(?=\s|\})))*)\s*\}(?P<body>.*)$",
+    re.S)
+_PARAM_RE = re.compile(r"([\w.]+)=('[^']*'|\"[^\"]*\"|\S+)")
+
+
+def parse_local_params(text: str):
+    """Split a Solr local-params query string ``{!type k=v ...}body``
+    into (type, params dict, body). `[U] solr/core/.../search/
+    QParser.java :: localParams syntax`."""
+    m = _LOCAL_RE.match(text.strip())
+    if not m:
+        raise FunctionQueryError(f"not a local-params query: {text!r}")
+    params = {k: v.strip("'\"") for k, v in _PARAM_RE.findall(m.group("params"))}
+    return m.group("type"), params, m.group("body").strip()
+
+
+def local_params_filter(text: str, df: Optional[DataFrame] = None,
+                        now: Optional[datetime] = None) -> Column:
+    """Filter-producing local-params parsers as a boolean Column:
+
+    * ``{!frange l=.. u=.. incl=true incu=true}func`` — FunctionRange
+      query (`[U] solr/core/.../search/FunctionRangeQParserPlugin.java`):
+      docs whose function value lies in [l, u]; either bound optional,
+      bound inclusivity via incl/incu (default true). The function is
+      a plain Column, so the predicate stays inside whole-stage codegen
+      and pushes down when the body is a bare field.
+    * ``{!terms f=field separator=,}v1,v2,...`` — TermsQParserPlugin
+      (`[U] solr/core/.../search/TermsQParserPlugin.java`): a set-
+      membership filter compiled to IN (Catalyst folds it to a literal
+      set; on a parquet field it reaches PushedFilters).
+    """
+    qtype, params, body = parse_local_params(text)
+    if qtype == "frange":
+        col = parse_function_query(body, df, now)
+        cond = F.lit(True)
+        if "l" in params:
+            lo = float(params["l"])
+            cond = cond & (col >= lo if params.get("incl", "true") == "true"
+                           else col > lo)
+        if "u" in params:
+            hi = float(params["u"])
+            cond = cond & (col <= hi if params.get("incu", "true") == "true"
+                           else col < hi)
+        return cond
+    if qtype == "terms":
+        fld = params["f"]
+        sep = params.get("separator", ",")
+        vals = [v for v in body.split(sep)]
+        return F.col(fld).isin(vals)
+    raise FunctionQueryError(f"unsupported local-params type {qtype!r}")

@@ -49,7 +49,8 @@ from pyspark.sql import functions as F
 from ..plans.query import parse_query
 from . import streamexpr as sx
 
-__all__ = ["solr_select", "SelectResponse", "realtime_get"]
+__all__ = ["solr_select", "SelectResponse", "realtime_get",
+           "query_elevation"]
 
 
 @dataclass
@@ -201,6 +202,55 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     return SelectResponse(docs=docs, matches=matches, facets=facets,
                           highlighting=highlighting, spellcheck=spellcheck,
                           next_cursor_mark=next_cursor)
+
+
+def query_elevation(idx, q: str, elevate_ids: Sequence[int],
+                    exclude_ids: Sequence[int] = (), k: int = 10) -> DataFrame:
+    """QueryElevationComponent (`[U] solr/core/src/java/org/apache/solr/
+    handler/component/QueryElevationComponent.java`, elevate.xml +
+    forceElevation=true): editorial ids are pinned to the top of the
+    page IN CONFIG ORDER — even ids that do not match ``q`` (QEC ORs an
+    include-query into the main query; a non-matching elevated doc
+    scores 0) — excluded ids vanish entirely, and the rest of the page
+    keeps the normal (score desc, doc_id) order.
+
+    Scale shape: the elevation map is editorial-tiny, so it rides a
+    broadcast join; the only collect is the <=len(elevate_ids)-row
+    matched-id probe (same order as the final top-k collect). The
+    non-elevated stream stays one global TakeOrderedAndProject.
+
+    Returns (rank, doc_id, score_r, elevated).
+    """
+    spark = idx.spark
+    scored = idx.score_all(parse_query(q, analyzer=idx.manifest.analyzer))
+    if exclude_ids:
+        scored = scored.filter(
+            ~F.col("doc_id").isin([int(i) for i in exclude_ids]))
+    elev = spark.createDataFrame(
+        [(int(d), r) for r, d in enumerate(elevate_ids)],
+        "doc_id long, _elev int")
+    matched = scored.join(F.broadcast(elev), "doc_id")
+    got = {r["doc_id"] for r in matched.select("doc_id").collect()}
+    missing = [(int(d), float(0.0), r)
+               for r, d in enumerate(elevate_ids) if int(d) not in got]
+    elev_scored = matched.select("doc_id", F.col("score").cast("float"), "_elev")
+    if missing:
+        elev_scored = elev_scored.unionByName(spark.createDataFrame(
+            missing, "doc_id long, score float, _elev int"))
+    rest = (scored.join(F.broadcast(elev), "doc_id", "left_anti")
+            .select("doc_id", F.col("score").cast("float"),
+                    F.lit(None).cast("int").alias("_elev")))
+    out = (elev_scored.withColumn("elevated", F.lit(True))
+           .unionByName(rest.withColumn("elevated", F.lit(False)))
+           .orderBy(F.desc("elevated"), F.asc_nulls_last("_elev"),
+                    F.desc("score"), F.asc("doc_id"))
+           .limit(k))
+    w = Window.orderBy(F.desc("elevated"), F.asc_nulls_last("_elev"),
+                       F.desc("score"), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id",
+                    F.round(F.col("score").cast("double"), 4).alias("score_r"),
+                    "elevated"))
 
 
 def realtime_get(idx, keys, key_cols: Sequence[str] = ("repo", "path"),

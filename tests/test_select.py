@@ -170,3 +170,50 @@ def test_realtime_get_returns_latest_live_version(spark, tmp_path_factory):
                                  "repo string, path string")
     got = {r["path"]: r["doc_id"] for r in realtime_get(idx, keys).collect()}
     assert set(got) == {"p2", "p4"} and all(v > 5 for v in got.values())
+
+
+def test_query_elevation(idx):
+    """QEC semantics: config-order pins (score 0 when unmatched),
+    exclusions vanish, rest keep score order."""
+    from lucene_solr_spark.operators.select import query_elevation
+
+    base = idx.search("spark OR merge", k=10)
+    base_ids = [r["doc_id"] for r in
+                base.orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    # elevate one matching + one non-matching id; exclude the base top hit
+    non_match = 10**9 + 7  # not a real doc: still pinned, score 0
+    out = query_elevation(idx, "spark OR merge",
+                          elevate_ids=(base_ids[3], non_match),
+                          exclude_ids=(base_ids[0],), k=10).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    assert out[0]["doc_id"] == base_ids[3] and out[0]["elevated"]
+    assert out[1]["doc_id"] == non_match and out[1]["score_r"] == 0.0
+    rest = [r["doc_id"] for r in out[2:]]
+    assert base_ids[0] not in rest          # excluded
+    assert base_ids[3] not in rest          # not duplicated
+    # rest preserves the base ordering with pins/excludes removed
+    expect = [d for d in base_ids if d not in (base_ids[0], base_ids[3])]
+    assert rest == expect[:len(rest)]
+
+
+def test_local_params_filters(spark):
+    """{!frange} bounds/inclusivity and {!terms} set membership."""
+    from lucene_solr_spark.functions.funcparser import (
+        FunctionQueryError, local_params_filter, parse_local_params)
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "b")],
+        "id long, v double, tag string")
+    got = {r["id"] for r in df.filter(local_params_filter(
+        "{!frange l=10 u=30 incl=false}v")).collect()}
+    assert got == {2, 3}  # l exclusive, u inclusive
+    got = {r["id"] for r in df.filter(local_params_filter(
+        "{!frange u=25}div(v,1)")).collect()}
+    assert got == {1, 2}  # open lower bound, function body
+    got = {r["id"] for r in df.filter(local_params_filter(
+        "{!terms f=tag}b,c")).collect()}
+    assert got == {2, 3, 4}
+    assert parse_local_params("{!terms f=x separator=|}1|2")[1]["separator"] == "|"
+    with _pytest.raises(FunctionQueryError):
+        local_params_filter("{!unknown}x")

@@ -1186,6 +1186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup (training-data pipeline; SURVEY.md §2 + task brief)
     q["dedup_exact_groups"] = lambda s, sf: tp.exact_dedup(_docs(s, sf), "text")
+    # SignatureUpdateProcessor, TextProfileSignature method: order-
+    # invariant fuzzy digest; overwriteDupes=true -> newest id survives
+    q["signature_dedup"] = lambda s, sf: tp.signature_dedup_groups(
+        _docs(s, sf), "text")
     q["dedup_ngram_jaccard"] = lambda s, sf: tp.ngram_jaccard_pairs(
         _docs(s, sf), 0.5, "text"
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
@@ -2589,6 +2593,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        # TextProfileSignature replicated step-for-step: >=2-char simple
+        # tokens, quant = max(2, round(max_freq*0.01)) (1 if all freqs
+        # are 1), floor-quantized freqs, zero-quantized terms dropped,
+        # profile sorted (qfreq DESC, term ASC), md5'd
+        "signature_dedup": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                  t -> length(t) >= 2)) AS term
+              FROM documents),
+            counts AS (SELECT doc_id, term, COUNT(*) AS c
+                       FROM toks GROUP BY doc_id, term),
+            qn AS (SELECT doc_id,
+                          CASE WHEN MAX(c) > 1
+                               THEN GREATEST(2, CAST(ROUND(MAX(c) * 0.01) AS BIGINT))
+                               ELSE 1 END AS quant
+                   FROM counts GROUP BY doc_id),
+            qc AS (SELECT c.doc_id, term,
+                          CAST(FLOOR(c / quant) * quant AS BIGINT) AS q
+                   FROM counts c JOIN qn USING (doc_id)
+                   WHERE FLOOR(c / quant) * quant > 0),
+            prof AS (SELECT doc_id,
+                            string_agg(term || ' ' || CAST(q AS VARCHAR), ' '
+                                       ORDER BY q DESC, term) AS p
+                     FROM qc GROUP BY doc_id),
+            sigs AS (SELECT d.doc_id, md5(COALESCE(p.p, '')) AS sig
+                     FROM documents d LEFT JOIN prof p USING (doc_id))
+            SELECT sig AS signature, MAX(doc_id) AS kept_id,
+                   COUNT(*) AS n_docs
+            FROM sigs GROUP BY sig
         """,
         # exact n-gram Jaccard — also the oracle for the MinHash+LSH path
         # (banding params give recall ~1.0; pytest asserts parity too)

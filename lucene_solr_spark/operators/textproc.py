@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "exact_dedup_winners",
+    "text_profile_signature",
+    "signature_dedup_groups",
     "shingle_set",
     "ngram_jaccard_pairs",
     "minhash_doc_signatures",
@@ -75,6 +77,73 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def text_profile_signature(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", quant_rate: float = 0.01,
+                           min_token_len: int = 2) -> DataFrame:
+    """TextProfileSignature (`[U] solr/core/.../update/processor/
+    TextProfileSignature.java`, Nutch lineage): an order-invariant
+    fuzzy content digest. Tokens shorter than ``min_token_len`` are
+    dropped; term freqs are quantized by
+    ``quant = max(2, round(max_freq * quant_rate))`` (1 when every
+    freq is 1) with ``qfreq = floor(freq/quant)*quant`` and zero-
+    quantized terms removed; the profile is ``"term qfreq ..."``
+    sorted by (qfreq DESC, term ASC — Nutch leaves ties unspecified;
+    term-asc is pinned here so engine == oracle), and the signature is
+    its md5. Word-order shuffles and rare-term edits hash identically.
+
+    All-JVM: explode -> two keyed aggregations -> array_sort/concat_ws
+    -> md5; the shuffle carries (id, term, count), never the text.
+    Returns (id_col, signature).
+    """
+    from ..analysis import tokens_column
+
+    toks = (df.select(F.col(id_col),
+                      F.explode(tokens_column(F.col(text_col), "simple"))
+                      .alias("term"))
+            .filter(F.length("term") >= min_token_len))
+    counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.withColumn(
+        "m", F.max("c").over(Window.partitionBy(id_col)))
+    quant = F.when(
+        F.col("m") > 1,
+        F.greatest(F.lit(2), F.round(F.col("m") * F.lit(quant_rate))
+                   .cast("long"))).otherwise(F.lit(1))
+    counts = (counts.withColumn("q", F.floor(F.col("c") / quant) * quant)
+              .filter(F.col("q") > 0))
+    entry = F.struct((-F.col("q")).alias("nq"), F.col("term").alias("t"),
+                     F.col("q").alias("q"))
+    prof = counts.groupBy(id_col).agg(
+        F.concat_ws(" ", F.flatten(F.transform(
+            F.array_sort(F.collect_list(entry)),
+            lambda x: F.array(x["t"], x["q"].cast("string")))))
+        .alias("profile"))
+    return (df.select(id_col).join(prof, id_col, "left")
+            .select(id_col, F.md5(F.coalesce("profile", F.lit("")))
+                    .alias("signature")))
+
+
+def signature_dedup_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           method: str = "text_profile") -> DataFrame:
+    """SignatureUpdateProcessor with overwriteDupes=true (`[U]
+    solr/core/.../update/processor/SignatureUpdateProcessorFactory
+    .java`): the signature becomes the uniqueKey, so within a
+    signature the NEWEST add (max id = ingestion order) survives.
+    ``method``: 'md5' (exact, Solr MD5Signature) or 'text_profile'
+    (fuzzy). Returns (signature, kept_id, n_docs); one hash-keyed
+    groupBy, ids-only shuffle.
+    """
+    if method == "md5":
+        sigs = df.select(F.col(id_col),
+                         F.md5(F.col(text_col)).alias("signature"))
+    elif method == "text_profile":
+        sigs = text_profile_signature(df, text_col, id_col)
+    else:
+        raise ValueError(f"unknown signature method {method!r}")
+    return sigs.groupBy("signature").agg(
+        F.max(id_col).alias("kept_id"), F.count(F.lit(1)).alias("n_docs"))
 
 
 def exact_dedup_winners(df: DataFrame, text_col: str = "text",

@@ -200,3 +200,37 @@ def test_repetition_score(spark):
     assert abs(rows[1]["top2_frac"] - 0.4) < 1e-6
     assert rows[2]["dup3_frac"] == 0.0 and abs(rows[2]["top2_frac"] - 1.0) < 1e-6
     assert rows[3]["n_tokens"] == 1 and rows[3]["top2_frac"] == 0.0
+
+
+def test_text_profile_signature_semantics(spark):
+    """Order-invariance, min-token-length drop, quantization bucketing,
+    and overwriteDupes newest-wins."""
+    from lucene_solr_spark.operators.textproc import (
+        signature_dedup_groups, text_profile_signature)
+
+    df = spark.createDataFrame(
+        [(0, "merge sort table sort"),       # base
+         (1, "sort table sort merge"),       # shuffled -> same signature
+         (2, "merge sort table sort x"),     # 1-char token dropped -> same
+         (3, "merge sort table"),            # different multiset
+         (4, "")],                           # empty profile
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["signature"]
+            for r in text_profile_signature(df).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]
+    assert sigs[3] != sigs[0] and sigs[4] not in (sigs[0], sigs[3])
+
+    groups = {r["signature"]: r for r in
+              signature_dedup_groups(df).collect()}
+    g = groups[sigs[0]]
+    assert g["kept_id"] == 2 and g["n_docs"] == 3  # newest add survives
+
+    # quantization: freqs {a:4, b:3} with quant 2 -> both bucket to
+    # {a:4, b:2}; freq-1 terms vanish entirely
+    hi = spark.createDataFrame(
+        [(10, "aa aa aa aa bb bb bb cc"),
+         (11, "aa aa aa aa bb bb dd")],
+        "doc_id long, text string")
+    s = {r["doc_id"]: r["signature"]
+         for r in text_profile_signature(hi).collect()}
+    assert s[10] == s[11]

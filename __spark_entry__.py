@@ -730,6 +730,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["edismax_mm_topk"] = lambda s, sf: _rank_topk(
         ed.edismax_search(_edismax_readers(s, sf), "content^2 path_text",
                           "spark merge txt", tiebreak=0.3, mm=2, k=10))
+    # pf (whole query as an exact phrase, dismaxed over pf fields,
+    # ADDED to matching docs) + bf (additive function boost): the full
+    # combine main + pf + bf in double, float32 per-field kernels
+    q["edismax_pf_bf_topk"] = lambda s, sf: _rank_topk(
+        ed.edismax_pf_bf(_edismax_readers(s, sf), "content^2 path_text",
+                         "spark merge", pf="content^1.5",
+                         bf="recip(doc_id,0.001,1,1)",
+                         bf_source=_docs(s, sf).select("doc_id"),
+                         tiebreak=0.1, mm=1)
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
     # ---- LTR re-rank (SURVEY §2.13 solr/contrib/ltr LinearModel):
     # BM25 first pass -> feature extraction -> linear model re-sort
@@ -1634,6 +1644,79 @@ def _edismax_sql(clauses, qf, tie: float, mm: int, k: int = 10) -> str:
     """
 
 
+def _edismax_pf_bf_sql(clauses, qf, tie: float, mm: int,
+                       pf_field: str, pf_boost: float, bf_sql: str,
+                       k: int = 10) -> str:
+    """edismax + pf + bf oracle: the _edismax_sql float32 per-field
+    CTEs, plus the whole-query exact phrase on ``pf_field`` (idf sum
+    over the clause terms' d-tags, float32 kernel, dismax of one field
+    = itself) and the additive ``bf_sql`` expression over doc_id —
+    combined (main + pf) + bf in double, the engine's exact order."""
+    field_tok = {
+        "content": ("list_filter(regexp_split_to_array(lower(text), "
+                    "'[^a-z0-9_]+'), t -> t != '')"),
+        "path_text": "['docs', CAST(doc_id AS VARCHAR), 'txt']",
+    }
+    parts = [f"nq(lo, hi) AS (VALUES {_byte4_ranges()})"]
+    for f in qf:
+        expr = field_tok[f]
+        parts.append(f"tk_{f} AS (SELECT doc_id, {expr} AS tk FROM documents)")
+        parts.append(f"st_{f} AS (SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS sum_dl FROM tk_{f})")
+        parts.append(
+            f"ca_{f} AS (SELECT t.doc_id, t.tk, CAST(1.2 * (0.25 + 0.75 * nq.lo /"
+            f" (SELECT CAST(sum_dl AS DOUBLE) / n_docs FROM st_{f})) AS REAL) AS c"
+            f" FROM tk_{f} t JOIN nq ON len(t.tk) >= nq.lo AND len(t.tk) < nq.hi)")
+    clause_sqls = []
+    for ci, term in enumerate(clauses):
+        sides = []
+        for f, boost in qf.items():
+            tag = f"{ci}_{f}"
+            idf = (f"ln(1 + ((SELECT n_docs FROM st_{f}) - (SELECT df FROM d{tag}) + 0.5)"
+                   f" / ((SELECT df FROM d{tag}) + 0.5))")
+            parts.append(
+                f"m{tag} AS (SELECT doc_id, c, len(list_filter(tk, x -> x = '{term}')) AS tf FROM ca_{f})")
+            parts.append(f"d{tag} AS (SELECT COUNT(*) AS df FROM m{tag} WHERE tf > 0)")
+            parts.append(
+                f"s{tag} AS (SELECT doc_id, CAST({boost!r} * {idf} AS REAL)"
+                f" * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc"
+                f" FROM m{tag} WHERE tf > 0)")
+            sides.append(f"SELECT doc_id, CAST(sc AS DOUBLE) AS sd FROM s{tag}")
+        union = " UNION ALL ".join(sides)
+        parts.append(
+            f"c{ci} AS (SELECT doc_id, mx + {tie!r} * (tot - mx) AS cs, {ci} AS clause"
+            f" FROM (SELECT doc_id, MAX(sd) AS mx, SUM(sd) AS tot FROM ({union}) GROUP BY doc_id))")
+        clause_sqls.append(f"SELECT * FROM c{ci}")
+    allc = " UNION ALL ".join(clause_sqls)
+    # exact whole-query phrase on pf_field: idf from that field's d-tags
+    idf_sum = " + ".join(
+        f"ln(1 + ((SELECT n_docs FROM st_{pf_field}) - (SELECT df FROM d{ci}_{pf_field}) + 0.5)"
+        f" / ((SELECT df FROM d{ci}_{pf_field}) + 0.5))"
+        for ci in range(len(clauses)))
+    conds = " AND ".join(
+        f"tk[i+{j}] = '{t}'" if j else f"tk[i] = '{t}'"
+        for j, t in enumerate(clauses))
+    hi = "len(tk)" if len(clauses) == 2 else f"len(tk) - {len(clauses) - 2}"
+    parts.append(
+        f"ph AS (SELECT doc_id, CAST({pf_boost!r} * ({idf_sum}) AS REAL)"
+        f" * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS psc"
+        f" FROM (SELECT doc_id, c, len([i FOR i IN range(1, {hi}) IF {conds}]) AS tf"
+        f" FROM ca_{pf_field}) WHERE tf > 0)")
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT rank, doc_id, score_r FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+                 ROUND(score, 4) AS score_r
+          FROM (SELECT m.doc_id,
+                       (m.score + COALESCE(CAST(ph.psc AS DOUBLE), 0.0))
+                       + ({bf_sql}) AS score
+                FROM (SELECT doc_id, SUM(cs) AS score, COUNT(DISTINCT clause) AS nc
+                      FROM ({allc}) GROUP BY doc_id) m
+                LEFT JOIN ph ON ph.doc_id = m.doc_id
+                WHERE m.nc >= {mm})
+        ) WHERE rank <= {k} ORDER BY rank
+    """
+
+
 def _select_edismax_sql(clauses, qf, tie: float, mm: int, fq_term: str,
                         rank_lo: int, rank_hi: int) -> str:
     """/select facade oracle: the edismax match set (same float32 CTEs
@@ -1972,6 +2055,10 @@ def oracle_sql() -> dict[str, str]:
         "edismax_mm_topk": _edismax_sql(
             ["spark", "merge", "txt"], {"content": 2.0, "path_text": 1.0},
             tie=0.3, mm=2),
+        "edismax_pf_bf_topk": _edismax_pf_bf_sql(
+            ["spark", "merge"], {"content": 2.0, "path_text": 1.0},
+            tie=0.1, mm=1, pf_field="content", pf_boost=1.5,
+            bf_sql="1.0/(0.001*m.doc_id + 1.0)"),
         "solr_select_edismax": _select_edismax_sql(
             ["spark", "docs"], {"content": 2.0, "path_text": 1.0},
             tie=0.1, mm=1, fq_term="join", rank_lo=6, rank_hi=10),

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from ..plans.query import TermQuery
 from .search import IndexReader
 
-__all__ = ["parse_qf", "edismax_search"]
+__all__ = ["parse_qf", "edismax_search", "edismax_score_all",
+           "edismax_pf_bf"]
 
 
 def parse_qf(qf: str) -> Dict[str, float]:
@@ -130,3 +131,72 @@ def edismax_score_all(readers: Dict[str, IndexReader],
         .filter(F.col("nc") >= mm)
         .select("doc_id", "score")
     )
+
+
+def edismax_pf_bf(readers: Dict[str, IndexReader],
+                  qf: str | Dict[str, float], query: str,
+                  pf: str | Dict[str, float] | None = None,
+                  bf: str | None = None,
+                  bf_source: DataFrame | None = None,
+                  tiebreak: float = 0.0, mm: int = 1) -> DataFrame:
+    """edismax with phrase-field and boost-function additions (`[U]
+    solr/core/.../search/ExtendedDismaxQParser.java` pf/bf params).
+
+    * ``pf`` — 'field^boost ...' like qf: the WHOLE query, as one exact
+      phrase, scored per pf field; the dismax (max + tie*rest) of those
+      phrase scores is ADDED to matching main-query docs (Lucene: the
+      phrase DisjunctionMaxQuery rides the main BooleanQuery as a
+      SHOULD clause, so it boosts but never admits new docs — hence the
+      left join).
+    * ``bf`` — an ADDITIVE function-query (Solr bf; boost= would be
+      multiplicative): parsed by functions.funcparser over
+      ``bf_source`` (doc_id + stored fields), evaluated as a plain
+      Column so the whole addition stays codegen'd.
+
+    Combine order (all double): main + pf_dismax + bf — each component
+    keyed by doc_id, id/score-only joins. Returns (doc_id, score).
+    """
+    from ..plans.query import PhraseQuery
+
+    score = edismax_score_all(readers, qf, query, tiebreak, mm)
+    if pf:
+        pboosts = parse_qf(pf) if isinstance(pf, str) else dict(pf)
+        phrase_dfs: List[DataFrame] = []
+        for fld, boost in pboosts.items():
+            rdr = readers[fld]
+            from ..analysis import tokenize_for_phrase
+
+            toks = tuple(tokenize_for_phrase(query, rdr.manifest.analyzer))
+            if len(toks) < 2:
+                continue
+            phrase_dfs.append(rdr.score_all(
+                PhraseQuery(toks, boost=boost)).select(
+                    "doc_id", F.col("score").cast("double").alias("ps")))
+        if phrase_dfs:
+            u = phrase_dfs[0]
+            for d in phrase_dfs[1:]:
+                u = u.unionByName(d)
+            ph = (u.groupBy("doc_id")
+                  .agg(F.max("ps").alias("pmx"), F.sum("ps").alias("ptot"))
+                  .select("doc_id",
+                          (F.col("pmx") + F.lit(float(tiebreak))
+                           * (F.col("ptot") - F.col("pmx"))).alias("pscore")))
+            score = (score.join(ph, "doc_id", "left")
+                     .select("doc_id",
+                             (F.col("score")
+                              + F.coalesce(F.col("pscore"), F.lit(0.0))
+                              ).alias("score")))
+    if bf:
+        from ..functions.funcparser import parse_function_query
+
+        if bf_source is None:
+            raise ValueError("bf needs bf_source (doc_id + stored fields)")
+        vals = bf_source.select(
+            "doc_id", parse_function_query(bf, bf_source).cast("double")
+            .alias("bfv"))
+        score = (score.join(vals, "doc_id", "left")
+                 .select("doc_id",
+                         (F.col("score") + F.coalesce(F.col("bfv"),
+                                                      F.lit(0.0)))
+                         .alias("score")))
+    return score

@@ -62,3 +62,38 @@ def test_edismax_tiebreak(spark, readers):
           edismax_search(readers, "content path_text", "value", tiebreak=1.0,
                          k=1000).collect()}
     assert t0 == t1  # single-field match: tie has no effect
+
+
+def test_edismax_pf_adds_phrase_boost(spark, readers):
+    """pf: docs containing the exact phrase gain the phrase dismax on
+    top of the main score; others keep the main score unchanged."""
+    from lucene_solr_spark.operators.edismax import (edismax_pf_bf,
+                                                     edismax_score_all)
+
+    base = {r["doc_id"]: r["score"] for r in edismax_score_all(
+        readers, "content^2 path_text", "spark merge", 0.1, 1).collect()}
+    out = {r["doc_id"]: r["score"] for r in edismax_pf_bf(
+        readers, "content^2 path_text", "spark merge",
+        pf="content^1.5", tiebreak=0.1, mm=1).collect()}
+    assert set(out) == set(base)  # pf never admits new docs
+    boosted = {d for d in out if out[d] > base[d] + 1e-12}
+    texts = {r["doc_id"]: r["content"] for r in load_source_table(
+        spark, "/root/testdata/sf0.001").collect()}
+    for d in out:
+        has_phrase = "spark merge" in texts[d]
+        assert (d in boosted) == has_phrase, (d, texts[d][:60])
+
+
+def test_edismax_bf_additive(spark, readers):
+    """bf: score + f(doc) for every matching doc."""
+    from lucene_solr_spark.operators.edismax import (edismax_pf_bf,
+                                                     edismax_score_all)
+
+    src = load_source_table(spark, "/root/testdata/sf0.001").select("doc_id")
+    base = {r["doc_id"]: r["score"] for r in edismax_score_all(
+        readers, "content^2", "spark", 0.0, 1).collect()}
+    out = {r["doc_id"]: r["score"] for r in edismax_pf_bf(
+        readers, "content^2", "spark", bf="recip(doc_id,0.001,1,1)",
+        bf_source=src).collect()}
+    for d, s in out.items():
+        assert abs(s - (base[d] + 1.0 / (0.001 * d + 1.0))) < 1e-9

@@ -1159,6 +1159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (dist, docFreq desc, term)
     q["spellcheck_suggest"] = lambda s, sf: _index_for(s, sf).suggest_similar(
         "spart", max_edits=2, n=5)
+    # collate=true: misspelled terms replaced by their top suggestion,
+    # collation re-verified (hits = exact all-terms-MUST total)
+    q["spellcheck_collate"] = lambda s, sf: _index_for(
+        s, sf).spellcheck_collate(["sparkk", "mergee"])
 
     # ---- function-query string parser (VERDICT r2 missing #3,
     # ValueSourceParser): Solr text syntax -> Column combinators
@@ -2253,6 +2257,30 @@ def oracle_sql() -> dict[str, str]:
             FROM td
             WHERE levenshtein(term, 'spart') BETWEEN 1 AND 2
             ORDER BY dist, df DESC, term LIMIT 5
+        """,
+        # collation: per misspelled term the same (dist, df DESC, term)
+        # top-1 as spellcheck_suggest; hits = docs containing BOTH picks
+        "spellcheck_collate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            td AS (SELECT t AS term, COUNT(DISTINCT doc_id) AS df
+                   FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1),
+            s1 AS (SELECT term FROM td
+                   WHERE levenshtein(term, 'sparkk') BETWEEN 1 AND 2
+                   ORDER BY levenshtein(term, 'sparkk'), df DESC, term LIMIT 1),
+            s2 AS (SELECT term FROM td
+                   WHERE levenshtein(term, 'mergee') BETWEEN 1 AND 2
+                   ORDER BY levenshtein(term, 'mergee'), df DESC, term LIMIT 1),
+            h AS (SELECT COUNT(*) AS hits FROM toks, s1, s2
+                  WHERE list_contains(tk, s1.term)
+                    AND list_contains(tk, s2.term))
+            SELECT (SELECT term FROM s1) || ' ' || (SELECT term FROM s2)
+                     AS collation,
+                   hits
+            FROM h
         """,
         "text_language_id": _language_id_sql(),
         "dedup_simhash": _simhash_sql(3),

@@ -1092,6 +1092,32 @@ class IndexReader:
             .select("term", "df", "dist")
         )
 
+    def spellcheck_collate(self, query_terms, max_edits: int = 2) -> DataFrame:
+        """Spellcheck collation (`[U] solr/core/.../handler/component/
+        SpellCheckComponent.java :: collate=true`): every query term
+        absent from the term dictionary is replaced by its top
+        DirectSpellChecker suggestion (dist asc, df desc, term asc);
+        dictionary terms pass through unchanged. The collation is then
+        re-verified (Solr's maxCollationTries): ``hits`` is the exact
+        total of the rewritten all-terms-MUST query. Returns one row
+        (collation, hits) — per-term work is a pushdown-pruned
+        dictionary probe plus the bounded suggest scan; only the final
+        1-row verification query touches postings."""
+        corrected = []
+        for t in query_terms:
+            t = t.lower()
+            present = (self.postings.filter(F.col("term") == t)
+                       .limit(1).count() > 0)
+            if present:
+                corrected.append(t)
+                continue
+            sugg = self.suggest_similar(t, max_edits=max_edits, n=1).collect()
+            corrected.append(sugg[0]["term"] if sugg else t)
+        collation = " ".join(corrected)
+        _, hits = self.search_with_total(" AND ".join(corrected), k=1)
+        return self.spark.createDataFrame(
+            [(collation, int(hits))], "collation string, hits long")
+
 
 def _contains_spanfirst(q: Query) -> bool:
     if isinstance(q, SpanFirstQuery):

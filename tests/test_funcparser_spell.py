@@ -174,3 +174,27 @@ def test_suggest_similar_excludes_exact_term(idx):
     rows = idx.suggest_similar("spark", max_edits=2, n=10).collect()
     assert all(r["term"] != "spark" for r in rows)
     assert all(1 <= r["dist"] <= 2 for r in rows)
+
+
+def test_spellcheck_collate(spark, tmp_path):
+    """Misspelled terms replaced by top suggestions; dictionary terms
+    pass through; hits = all-terms-MUST total of the collation."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+
+    src = spark.createDataFrame(
+        [(0, "r", "p", "c", "t", "spark merge fast"),
+         (1, "r", "p", "c", "t", "spark sort"),
+         (2, "r", "p", "c", "t", "merge spark value"),
+         (3, "r", "p", "c", "t", "nothing here")],
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string")
+    d = str(tmp_path / "sc")
+    build_index(spark, src, d, docs_per_seg=4)
+    idx = IndexReader(spark, d)
+    row = idx.spellcheck_collate(["sparkk", "mergee"]).collect()[0]
+    assert row["collation"] == "spark merge"
+    assert row["hits"] == 2  # docs 0 and 2 contain both
+    # dictionary term passes through untouched
+    row = idx.spellcheck_collate(["spark", "mergee"]).collect()[0]
+    assert row["collation"] == "spark merge" and row["hits"] == 2

@@ -893,6 +893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "big_value": F.col("value") > 50.0,
         },
     )
+    q["facet_prefix_index"] = lambda s, sf: sx.facet_field(
+        _docs(s, sf), "lang", prefix="e", sort="index", missing=True
+    )
     q["stats_quantity"] = lambda s, sf: _t(s, sf, "lineitem").agg(
         F.min("l_quantity").alias("min_q"),
         F.max("l_quantity").alias("max_q"),
@@ -2572,6 +2575,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000.0, 2) AS bucket_start
             FROM orders WHERE o_totalprice >= 0
             GROUP BY 1 ORDER BY bucket
+        """,
+        "facet_prefix_index": """
+            SELECT lang, cnt FROM (
+                SELECT lang, COUNT(*) AS cnt FROM documents
+                WHERE lang IS NOT NULL AND lang LIKE 'e%'
+                GROUP BY lang HAVING COUNT(*) >= 1
+                ORDER BY lang LIMIT 100
+            )
+            UNION ALL
+            SELECT NULL AS lang,
+                   (SELECT COUNT(*) FROM documents WHERE lang IS NULL) AS cnt
         """,
         "facet_query_events": """
             SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,

@@ -132,22 +132,42 @@ def reducer_stream(df: DataFrame, keys: Sequence[str], value: str,
 
 
 def facet_field(df: DataFrame, fld: str, limit: int = 100, mincount: int = 1,
-                offset: int = 0) -> DataFrame:
+                offset: int = 0, prefix: Optional[str] = None,
+                sort: str = "count", missing: bool = False) -> DataFrame:
     """`[U] solr/core/.../request/SimpleFacets.java` + `.../search/facet/
     FacetField.java` — term facet: counts desc, index-order tiebreak,
     limit/offset/mincount. Exact by construction (Spark's shuffle
     groupBy), so the reference's distributed refinement pass
-    (`FacetComponent :: refine`) has no equivalent here — SURVEY §2.6."""
+    (`FacetComponent :: refine`) has no equivalent here — SURVEY §2.6.
+
+    Solr knobs: ``facet.prefix`` restricts buckets BEFORE counting
+    (the pushdown-friendly place — the predicate reaches the scan);
+    ``facet.sort=index`` orders buckets lexicographically instead of
+    by count; ``facet.missing=true`` appends one NULL-valued bucket
+    counting docs with no value, AFTER the ordered terms (Solr places
+    the missing bucket last, outside limit/offset)."""
+    vals = df.filter(F.col(fld).isNotNull())
+    if prefix is not None:
+        vals = vals.filter(F.col(fld).startswith(prefix))
+    order = ([F.asc(fld)] if sort == "index"
+             else [F.desc("cnt"), F.asc(fld)])
     out = (
-        df.groupBy(fld).agg(F.count(F.lit(1)).alias("cnt"))
+        vals.groupBy(fld).agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= mincount)
-        .orderBy(F.desc("cnt"), F.asc(fld))
+        .orderBy(*order)
     )
     if offset:
-        w = Window.orderBy(F.desc("cnt"), F.asc(fld))
+        w = Window.orderBy(*order)
         out = (out.withColumn("__rn", F.row_number().over(w))
                .filter(F.col("__rn") > offset).drop("__rn"))
-    return out.limit(limit)
+    out = out.limit(limit)
+    if missing:
+        miss = (df.filter(F.col(fld).isNull())
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(F.lit(None).cast(df.schema[fld].dataType)
+                        .alias(fld), "cnt"))
+        out = out.unionByName(miss)
+    return out
 
 
 def facet_range(df: DataFrame, fld: str, start: float, gap: float,

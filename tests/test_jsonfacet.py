@@ -57,3 +57,22 @@ def test_mincount_and_errors(df):
     with pytest.raises(JsonFacetError):
         json_facet(df, {"bad": {"type": "terms", "field": "g",
                                 "facet": {"s": "median(v)"}}})
+
+
+def test_facet_field_prefix_sort_missing(spark):
+    from lucene_solr_spark.operators import streamexpr as sx
+    df = spark.createDataFrame(
+        [("apple",), ("apricot",), ("apple",), ("banana",), (None,), (None,)],
+        "f string")
+    # prefix restricts before counting; sort=index orders lexicographically
+    rows = sx.facet_field(df, "f", prefix="ap", sort="index").collect()
+    assert [(r["f"], r["cnt"]) for r in rows] == [("apple", 2), ("apricot", 1)]
+    # missing=true appends one NULL bucket counting null docs, after the terms
+    rows = sx.facet_field(df, "f", prefix="ap", sort="index",
+                          missing=True).collect()
+    assert [(r["f"], r["cnt"]) for r in rows] == [
+        ("apple", 2), ("apricot", 1), (None, 2)]
+    # count-sort default unchanged: desc count, index tiebreak
+    rows = sx.facet_field(df, "f").collect()
+    assert [(r["f"], r["cnt"]) for r in rows] == [
+        ("apple", 2), ("apricot", 1), ("banana", 1)]

@@ -885,6 +885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_range_totalprice"] = lambda s, sf: sx.facet_range(
         _t(s, sf, "orders"), "o_totalprice", start=0.0, gap=50000.0
     ).select("bucket", "cnt", F.round("bucket_start", 2).alias("bucket_start"))
+    q["facet_range_other_price"] = lambda s, sf: sx.facet_range_other(
+        _t(s, sf, "orders"), "o_totalprice",
+        start=50000.0, gap=100000.0, end=420000.0, hardend=False,
+    )
     q["facet_query_events"] = lambda s, sf: sx.facet_query(
         _t(s, sf, "events"),
         {
@@ -1139,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_facet_orders"] = _json_facet_orders
     q["json_facet_nested"] = lambda s, sf: _json_facet_req(
         _t(s, sf, "orders"))["status:o_orderstatus/o_orderpriority"]
+    q["json_facet_sorted"] = _json_facet_sorted
 
     # ---- the north_rule per-row invariant, driver-adjudicated: every
     # indexed doc's stored sha256 must equal the hash of the source
@@ -2029,6 +2034,21 @@ def _json_facet_orders(s: SparkSession, sf: str) -> DataFrame:
         "o_orderstatus", "cnt", "rev", "uniq_cust")
 
 
+def _json_facet_sorted(s: SparkSession, sf: str) -> DataFrame:
+    """JSON-Facet knob coverage: domain.filter swaps the base domain,
+    sort names a sibling stat facet, limit applies after the stat
+    sort (`[U] solr/core/.../search/facet/FacetFieldProcessor.java`)."""
+    from lucene_solr_spark.operators import jsonfacet as jf
+
+    return jf.json_facet(
+        _docs(s, sf),
+        {"langs": {"type": "terms", "field": "lang", "limit": 3,
+                   "sort": "total desc",
+                   "domain": {"filter": "n_chars > 300"},
+                   "facet": {"total": "sum(n_chars)"}}},
+    )["langs"]
+
+
 def _planted_embeddings(s: SparkSession, sf: str) -> DataFrame:
     """embeddings ∪ exact copies of vec_id<10 shifted to id+10000 —
     deterministic planted duplicates for the LSH near-dup oracle."""
@@ -2227,6 +2247,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus, o_orderpriority
             HAVING COUNT(*) >= 1
             ORDER BY cnt DESC, o_orderstatus, o_orderpriority
+        """,
+        "json_facet_sorted": """
+            SELECT lang, COUNT(*) AS cnt,
+                   CAST(SUM(n_chars) AS BIGINT) AS total
+            FROM documents
+            WHERE n_chars > 300 AND lang IS NOT NULL
+            GROUP BY lang HAVING COUNT(*) >= 1
+            ORDER BY total DESC, lang LIMIT 3
         """,
         "streamexpr_text_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS "count(*)",
@@ -2586,6 +2614,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT NULL AS lang,
                    (SELECT COUNT(*) FROM documents WHERE lang IS NULL) AS cnt
+        """,
+        "facet_range_other_price": """
+            SELECT 'before' AS label,
+                   (SELECT COUNT(*) FROM orders WHERE o_totalprice < 50000.0) AS cnt
+            UNION ALL
+            SELECT 'between',
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_totalprice >= 50000.0 AND o_totalprice < 450000.0)
+            UNION ALL
+            SELECT 'after',
+                   (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 450000.0)
         """,
         "facet_query_events": """
             SELECT COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,

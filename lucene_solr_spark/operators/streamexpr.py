@@ -170,21 +170,74 @@ def facet_field(df: DataFrame, fld: str, limit: int = 100, mincount: int = 1,
     return out
 
 
+def _range_hi(start: float, gap: float, end: float, hardend: bool) -> float:
+    """Actual upper bound of the last bucket: Solr's ``hardend=false``
+    (default) rounds ``end`` UP to a whole gap so the final bucket keeps
+    its full width; ``hardend=true`` clips it at ``end``."""
+    import math
+
+    if hardend:
+        return end
+    n = max(1, math.ceil((end - start) / gap - 1e-9))
+    return start + n * gap
+
+
 def facet_range(df: DataFrame, fld: str, start: float, gap: float,
-                end: Optional[float] = None) -> DataFrame:
+                end: Optional[float] = None, hardend: bool = True,
+                include: str = "lower") -> DataFrame:
     """`[U] .../search/facet/FacetRange.java` — numeric buckets of width
-    ``gap`` from ``start``."""
-    b = F.floor((F.col(fld) - F.lit(start)) / F.lit(gap)).cast("long")
+    ``gap`` from ``start``.
+
+    ``include="lower"`` (Solr default): each bucket is
+    ``[lo, lo+gap)``; ``"upper"``: ``(lo, lo+gap]``.  ``hardend``
+    controls whether a ragged last bucket is clipped at ``end``
+    (true) or keeps its full gap width (false, Solr's default —
+    kept ``True`` here for backward compatibility of the bare call)."""
+    x = F.col(fld)
+    if include == "upper":
+        b = F.ceil((x - F.lit(start)) / F.lit(gap)).cast("long") - F.lit(1)
+        lo_ok = x > start
+    elif include == "lower":
+        b = F.floor((x - F.lit(start)) / F.lit(gap)).cast("long")
+        lo_ok = x >= start
+    else:
+        raise ValueError(f"include must be lower|upper, got {include!r}")
     out = df
     if end is not None:
-        out = out.filter((F.col(fld) >= start) & (F.col(fld) < end))
+        hi = _range_hi(start, gap, end, hardend)
+        out = out.filter((x <= hi) if include == "upper" else (x < hi))
     return (
-        out.filter(F.col(fld) >= start)
+        out.filter(lo_ok)
         .groupBy(b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket_start", (F.col("bucket") * gap + start))
         .orderBy("bucket")
     )
+
+
+def facet_range_other(df: DataFrame, fld: str, start: float, gap: float,
+                      end: float, hardend: bool = True,
+                      include: str = "lower") -> DataFrame:
+    """`[U] .../search/facet/FacetRange.java :: OTHER` — the
+    ``facet.range.other=all`` sections: one labeled count each for
+    docs before ``start``, after the actual end, and between. One
+    pass (three conditional counts), unpivoted to (label, cnt) rows."""
+    x = F.col(fld)
+    hi = _range_hi(start, gap, end, hardend)
+    if include == "upper":
+        before, after = x <= start, x > hi
+        between = (x > start) & (x <= hi)
+    else:
+        before, after = x < start, x >= hi
+        between = (x >= start) & (x < hi)
+    wide = df.agg(
+        F.count(F.when(before, F.lit(1))).alias("before"),
+        F.count(F.when(between, F.lit(1))).alias("between"),
+        F.count(F.when(after, F.lit(1))).alias("after"),
+    )
+    return wide.selectExpr(
+        "stack(3, 'before', before, 'between', between, 'after', after) "
+        "AS (label, cnt)")
 
 
 def facet_query(df: DataFrame, conds: dict[str, Column]) -> DataFrame:

@@ -76,3 +76,65 @@ def test_facet_field_prefix_sort_missing(spark):
     rows = sx.facet_field(df, "f").collect()
     assert [(r["f"], r["cnt"]) for r in rows] == [
         ("apple", 2), ("apricot", 1), ("banana", 1)]
+
+
+def test_sort_by_stat_offset_prefix(df):
+    out = json_facet(df, {
+        "by_g": {"type": "terms", "field": "g", "sort": "total asc",
+                 "facet": {"total": "sum(v)"}},
+    })
+    assert [r["g"] for r in out["by_g"].collect()] == ["B", "A"]
+    out = json_facet(df, {
+        "by_h": {"type": "terms", "field": "h", "sort": "index asc",
+                 "offset": 1},
+    })
+    assert [r["h"] for r in out["by_h"].collect()] == ["y"]
+    out = json_facet(df, {
+        "px": {"type": "terms", "field": "h", "prefix": "x"},
+    })
+    assert [(r["h"], r["cnt"]) for r in out["px"].collect()] == [("x", 3)]
+
+
+def test_allbuckets_numbuckets_domain(df):
+    out = json_facet(df, {
+        "by_g": {"type": "terms", "field": "g", "allBuckets": True,
+                 "numBuckets": True, "facet": {"total": "sum(v)"},
+                 "domain": {"filter": "v > 6"}},
+    })
+    ab = out["by_g:allBuckets"].collect()[0]
+    assert (ab["cnt"], ab["total"]) == (4, 46.0)   # v>6 drops the 5.0 row
+    assert out["by_g:numBuckets"].collect()[0]["numBuckets"] == 2
+    top = {r["g"]: r["cnt"] for r in out["by_g"].collect()}
+    assert top == {"A": 2, "B": 2}
+
+
+def test_bad_sort_raises(df):
+    with pytest.raises(JsonFacetError):
+        json_facet(df, {"x": {"type": "terms", "field": "g",
+                              "sort": "nope desc"}})
+    with pytest.raises(JsonFacetError):
+        json_facet(df, {"x": {"type": "terms", "field": "g",
+                              "sort": "count sideways"}})
+
+
+def test_facet_range_include_hardend_other(spark):
+    from lucene_solr_spark.operators import streamexpr as sx
+    df = spark.createDataFrame([(float(v),) for v in
+                                [0, 5, 10, 10, 15, 23, 25, 30]], "v double")
+    # include=lower (default): [10,20) and [20,30) with hardend at 25
+    rows = sx.facet_range(df, "v", 10.0, 10.0, end=25.0,
+                          hardend=True).collect()
+    assert [(r["bucket"], r["cnt"]) for r in rows] == [(0, 3), (1, 1)]
+    # hardend=False rounds end up to a whole gap: 25 -> 30, so 25 counts
+    rows = sx.facet_range(df, "v", 10.0, 10.0, end=25.0,
+                          hardend=False).collect()
+    assert [(r["bucket"], r["cnt"]) for r in rows] == [(0, 3), (1, 2)]
+    # include=upper: buckets (10,20] and (20,30] — 10s drop to before
+    rows = sx.facet_range(df, "v", 10.0, 10.0, end=30.0,
+                          include="upper").collect()
+    assert [(r["bucket"], r["cnt"]) for r in rows] == [(0, 1), (1, 3)]
+    # other=all sections, one pass
+    rows = sx.facet_range_other(df, "v", 10.0, 10.0, end=25.0,
+                                hardend=False).collect()
+    assert [(r["label"], r["cnt"]) for r in rows] == [
+        ("before", 2), ("between", 5), ("after", 1)]

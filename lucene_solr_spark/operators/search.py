@@ -211,20 +211,25 @@ class _SegmentScorer:
 
     def __init__(self, terms: Dict[str, _TermPostings], weights: Dict[str, np.float32],
                  cache: np.ndarray, doc_base: Dict[int, Tuple[int, int]], seg: int,
-                 phrase_weights: Dict[Tuple[str, ...], np.float32]):
+                 phrase_weights: Dict[Tuple[str, ...], np.float32],
+                 score_fn=score_tf):
         self.terms = terms
         self.weights = weights
         self.cache = cache
         self.seg = seg
         self.doc_base = doc_base
         self.phrase_weights = phrase_weights
+        # pluggable Similarity leaf scorer (BM25 default; TF-IDF via
+        # functions/tfidf.classic_score_tf) — same (w, tfs, norms,
+        # cache) signature so every query shape scores through it
+        self.score_fn = score_fn
 
     def term_scores(self, term: str, boost: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
         tp = self.terms.get(term)
         key = (term, boost)
         if tp is None or key not in self.weights:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        return tp.docs, score_tf(self.weights[key], tp.tfs, tp.norms, self.cache)
+        return tp.docs, self.score_fn(self.weights[key], tp.tfs, tp.norms, self.cache)
 
     def eval(self, q: Query) -> Tuple[np.ndarray, np.ndarray]:
         """-> (docs sorted asc, float32 scores). Summation order matches
@@ -268,7 +273,7 @@ class _SegmentScorer:
                           dtype=np.int64, count=len(plist))
         hit = tfs > 0
         w = self.weights.get((q.term, q.boost), np.float32(0.0))
-        return tp.docs[hit], score_tf(w, tfs[hit], tp.norms[hit], self.cache)
+        return tp.docs[hit], self.score_fn(w, tfs[hit], tp.norms[hit], self.cache)
 
     def _eval_phrase(self, q: PhraseQuery) -> Tuple[np.ndarray, np.ndarray]:
         tps = [self.terms.get(t) for t in q.terms]
@@ -307,7 +312,7 @@ class _SegmentScorer:
                 freqs[ci] = int(ok.sum())
         hit = freqs > 0
         w = self.phrase_weights[q.terms]
-        return cand[hit], score_tf(w, freqs[hit], norms[hit], self.cache)
+        return cand[hit], self.score_fn(w, freqs[hit], norms[hit], self.cache)
 
     def _eval_dismax(self, q: DisjunctionMaxQuery) -> Tuple[np.ndarray, np.ndarray]:
         evals = [self.eval(c) for c in q.clauses]
@@ -389,7 +394,8 @@ def make_query_kernel(query: Query, weights: Dict[str, np.float32],
                       phrase_weights: Dict[Tuple[str, ...], np.float32],
                       cache: np.ndarray, doc_base: Dict[int, Tuple[int, int]],
                       k: int, prune: str = "maxscore",
-                      deleted: Optional[np.ndarray] = None):
+                      deleted: Optional[np.ndarray] = None,
+                      score_fn=score_tf):
     """applyInPandas kernel over one segment's posting rows for the
     query's terms -> per-segment top-k + exact hit count.
 
@@ -413,7 +419,8 @@ def make_query_kernel(query: Query, weights: Dict[str, np.float32],
         seg = int(pdf["seg"].iloc[0])
         # MatchAll carrier rows (right-join) have null term columns
         terms = _assemble_terms(pdf[pdf["term"].notna()])
-        scorer = _SegmentScorer(terms, weights, cache, doc_base, seg, phrase_weights)
+        scorer = _SegmentScorer(terms, weights, cache, doc_base, seg,
+                                phrase_weights, score_fn)
         if prune == "maxscore" and is_pure_disjunction and deleted.size == 0:
             docs, scores, n_hits = _maxscore_disjunction(query, scorer, k)
         else:
@@ -548,7 +555,7 @@ class IndexReader:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cache_stats: bool = True):
+                 cache_stats: bool = True, similarity: str = "bm25"):
         self.spark = spark
         self.index_dir = index_dir
         m = read_manifest(index_dir)
@@ -565,7 +572,20 @@ class IndexReader:
         self.doc_count = m.doc_count
         self.sum_dl = m.sum_dl
         self.avgdl = self.sum_dl / self.doc_count if self.doc_count else 0.0
-        self.cache = norm_cache(self.avgdl)
+        # Similarity (IndexSearcher.setSimilarity): norms on disk are
+        # the SAME SmallFloat length byte either way; only the norm
+        # cache and the leaf score function differ
+        if similarity == "classic":
+            from ..functions.tfidf import classic_norm_table, classic_score_tf
+
+            self.cache = classic_norm_table()
+            self._score_fn = classic_score_tf
+        elif similarity == "bm25":
+            self.cache = norm_cache(self.avgdl)
+            self._score_fn = score_tf
+        else:
+            raise ValueError(f"similarity must be bm25|classic, got {similarity!r}")
+        self.similarity = similarity
         # liveDocs: sorted tombstoned ids from the manifest's delete
         # files (operators/delete.py); stats stay delete-blind like
         # Lucene until a merge purges. Above DELETED_DRIVER_CAP rows the
@@ -635,21 +655,21 @@ class IndexReader:
         dfs = self.global_dfs(terms)
         weights: Dict[Tuple[str, float], np.float32] = {}
         phrase_weights: Dict[Tuple[str, ...], np.float32] = {}
+        if self.similarity == "classic":
+            from ..functions.tfidf import classic_term_weight
+
+            def _tw(df, boost):
+                return classic_term_weight(df, self.doc_count, boost)
+        else:
+            def _tw(df, boost):
+                return term_weight(df, self.doc_count, boost, classic_k1p1)
 
         def walk(node: Query):
-            if isinstance(node, TermQuery):
+            if isinstance(node, (TermQuery, SpanFirstQuery)):
                 if node.term in dfs:
                     weights.setdefault(
                         (node.term, node.boost),
-                        term_weight(dfs[node.term], self.doc_count,
-                                    node.boost, classic_k1p1),
-                    )
-            elif isinstance(node, SpanFirstQuery):
-                if node.term in dfs:
-                    weights.setdefault(
-                        (node.term, node.boost),
-                        term_weight(dfs[node.term], self.doc_count,
-                                    node.boost, classic_k1p1),
+                        _tw(dfs[node.term], node.boost),
                     )
             elif isinstance(node, ConstantScoreQuery):
                 walk(node.query)
@@ -657,12 +677,19 @@ class IndexReader:
                 for c in node.clauses:
                     walk(c)
             elif isinstance(node, PhraseQuery):
-                w = node.boost * sum(
-                    idf_fn(dfs.get(t, 0), self.doc_count) for t in node.terms
-                )
-                if classic_k1p1:
-                    w *= K1 + 1.0
-                phrase_weights[node.terms] = np.float32(w)
+                if self.similarity == "classic":
+                    from ..functions.tfidf import classic_phrase_weight
+
+                    phrase_weights[node.terms] = classic_phrase_weight(
+                        [dfs.get(t, 0) for t in node.terms],
+                        self.doc_count, node.boost)
+                else:
+                    w = node.boost * sum(
+                        idf_fn(dfs.get(t, 0), self.doc_count) for t in node.terms
+                    )
+                    if classic_k1p1:
+                        w *= K1 + 1.0
+                    phrase_weights[node.terms] = np.float32(w)
             elif isinstance(node, BooleanQuery):
                 for c in node.should + node.must + node.must_not:
                     walk(c)
@@ -812,9 +839,14 @@ class IndexReader:
     def _per_segment(self, q: Query, k: int, prune: str) -> DataFrame:
         terms = [t for _, t in query_terms(q)]
         weights, phrase_weights = self._weights(q)
+        if self.similarity != "bm25":
+            # MaxScore's per-term upper bounds are derived with the BM25
+            # saturation formula; other similarities score exhaustively
+            # (their impact bounds would need their own formula)
+            prune = "exhaustive"
         kernel = make_query_kernel(
             q, weights, phrase_weights, self.cache, self.manifest.doc_base(),
-            k, prune, deleted=self.deleted,
+            k, prune, deleted=self.deleted, score_fn=self._score_fn,
         )
         has_matchall = _contains_matchall(q)
         conds = []
@@ -1117,6 +1149,51 @@ class IndexReader:
         _, hits = self.search_with_total(" AND ".join(corrected), k=1)
         return self.spark.createDataFrame(
             [(collation, int(hits))], "collation string, hits long")
+
+    def word_break(self, term: str, min_df: int = 1, n: int = 5) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordBreaks (`[U] lucene/suggest/
+        .../spell/WordBreakSpellChecker.java`): two-way splits of
+        ``term`` where BOTH parts are dictionary terms with docFreq >=
+        ``min_df``; ranked min-part-docFreq desc (the weaker part
+        bounds the suggestion's usefulness), then left part asc.
+        Multi-way recursion is omitted — Lucene caps it by maxEvaluations
+        and two-way covers the dominant missing-space case.
+
+        Distributed shape: the O(len) candidate parts are generated
+        driver-side, their docFreqs fetched in ONE pushdown-pruned
+        stats agg (global_dfs LRU); nothing but (term, df) pairs move."""
+        t = term.lower()
+        cands = [(t[:i], t[i:]) for i in range(1, len(t))]
+        parts = {p for pair in cands for p in pair}
+        dfs = self.global_dfs(parts)
+        rows = [
+            (lft, rgt, int(dfs[lft]), int(dfs[rgt]),
+             int(min(dfs[lft], dfs[rgt])))
+            for lft, rgt in cands
+            if dfs.get(lft, 0) >= min_df and dfs.get(rgt, 0) >= min_df
+        ]
+        rows.sort(key=lambda r: (-r[4], r[0]))
+        return self.spark.createDataFrame(
+            rows[:n] or [],
+            "left string, right string, left_df long, right_df long, "
+            "min_df long")
+
+    def word_combine(self, terms, min_df: int = 1, n: int = 5) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordCombinations: adjacent query
+        terms whose CONCATENATION is a dictionary term with docFreq >=
+        ``min_df`` ("mer ge" -> "merge"); ranked docFreq desc, term asc.
+        Same one-agg stats shape as word_break."""
+        terms = [t.lower() for t in terms]
+        cands = [(i, terms[i] + terms[i + 1]) for i in range(len(terms) - 1)]
+        dfs = self.global_dfs({c for _, c in cands})
+        rows = [
+            (int(i), terms[i], terms[i + 1], c, int(dfs[c]))
+            for i, c in cands if dfs.get(c, 0) >= min_df
+        ]
+        rows.sort(key=lambda r: (-r[4], r[3]))
+        return self.spark.createDataFrame(
+            rows[:n] or [],
+            "pos long, first string, second string, combined string, df long")
 
 
 def _contains_spanfirst(q: Query) -> bool:

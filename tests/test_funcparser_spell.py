@@ -198,3 +198,32 @@ def test_spellcheck_collate(spark, tmp_path):
     # dictionary term passes through untouched
     row = idx.spellcheck_collate(["spark", "mergee"]).collect()[0]
     assert row["collation"] == "spark merge" and row["hits"] == 2
+
+
+def test_wordbreak_and_combine(spark, tmp_path):
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+
+    src = spark.createDataFrame(
+        [(0, "r", "p", "c", "t", "spark merge fast spark"),
+         (1, "r", "p", "c", "t", "spark sort ark"),
+         (2, "r", "p", "c", "t", "merge spark value")],
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string")
+    d = str(tmp_path / "wb")
+    build_index(spark, src, d, docs_per_seg=4)
+    idx = IndexReader(spark, d)
+    # "sparkmerge" -> both ("spark","merge") and ("sp..","..") non-hits
+    rows = idx.word_break("sparkmerge").collect()
+    assert [(r["left"], r["right"], r["left_df"], r["right_df"])
+            for r in rows] == [("spark", "merge", 3, 2)]
+    # min-df ranking: "sparkark" -> (spark, ark) min 1 and (sp, arkark)
+    # no; ("spark","ark") only
+    rows = idx.word_break("sparkark").collect()
+    assert [(r["left"], r["right"]) for r in rows] == [("spark", "ark")]
+    # combinations: adjacent pair concatenation must be a dict term
+    rows = idx.word_combine(["mer", "ge", "spark"]).collect()
+    assert [(r["pos"], r["combined"], r["df"]) for r in rows] == [(0, "merge", 2)]
+    # nothing combinable -> empty frame with the right schema
+    rows = idx.word_combine(["zz", "qq"]).collect()
+    assert rows == []

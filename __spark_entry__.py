@@ -1277,6 +1277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # "merge"), both from ONE pushdown-pruned docFreq agg
     q["spellcheck_wordbreak"] = lambda s, sf: _index_for(
         s, sf).word_break("sparkmerge")
+    # AnalyzingInfixSuggester: token-boundary prefix match anywhere in
+    # the suggestion text, weight-ranked (one rlike scan, no UDF)
+    q["suggest_infix"] = lambda s, sf: se.infix_suggest(
+        _docs(s, sf).select("doc_id", "text", "n_chars"),
+        "text", "n_chars", "vec", n=10, key_cols=["doc_id"],
+    ).select("doc_id", "n_chars")
     q["spellcheck_wordcombine"] = lambda s, sf: _index_for(
         s, sf).word_combine(["mer", "ge", "spark"])
 
@@ -2383,6 +2389,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang HAVING COUNT(*) >= 1
             ORDER BY cnt DESC, lang LIMIT 100
+        """,
+        "suggest_infix": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9_])vec')
+            ORDER BY n_chars DESC, doc_id LIMIT 10
         """,
         "spellcheck_wordbreak": _wordbreak_sql("sparkmerge"),
         "spellcheck_wordcombine": _wordcombine_sql(["mer", "ge", "spark"]),

@@ -1221,6 +1221,31 @@ def _contains_matchall(q: Query) -> bool:
     return False
 
 
+def infix_suggest(df: DataFrame, text_col: str, weight_col: str,
+                  query: str, n: int = 10,
+                  key_cols: Optional[List[str]] = None) -> DataFrame:
+    """AnalyzingInfixSuggester (`[U] lucene/suggest/.../analyzing/
+    AnalyzingInfixSuggester.java`): a suggestion matches when ANY
+    token of its text starts with ``query`` (token-boundary prefix,
+    not substring), ranked weight desc then key asc — the "search
+    suggestions from the middle of a phrase" behavior.
+
+    Spark shape: one JVM-side rlike over the text column — no
+    tokenization pass, no UDF; the regex anchors the prefix at a
+    token boundary exactly as the analyzer would split. At 100-TB
+    scale this is a single filtered scan + TakeOrderedAndProject."""
+    import re as _re
+
+    pat = "(^|[^a-z0-9_])" + _re.escape(query.lower())
+    keys = key_cols or []
+    order = [F.desc(weight_col)] + [F.asc(k) for k in keys]
+    return (
+        df.filter(F.lower(F.col(text_col)).rlike(pat))
+        .orderBy(*order)
+        .limit(n)
+    )
+
+
 def term_vectors(source: DataFrame, doc_ids, analyzer: str = "simple",
                  text_col: str = "content") -> DataFrame:
     """Per-doc term vectors: (doc_id, term, tf, positions) for a bounded

@@ -227,3 +227,15 @@ def test_wordbreak_and_combine(spark, tmp_path):
     # nothing combinable -> empty frame with the right schema
     rows = idx.word_combine(["zz", "qq"]).collect()
     assert rows == []
+
+
+def test_infix_suggest_token_boundary(spark):
+    from lucene_solr_spark.operators.search import infix_suggest
+
+    df = spark.createDataFrame(
+        [(0, "the vector index", 5), (1, "avector is not a match", 9),
+         (2, "vec at start", 3), (3, "no hit here", 7)],
+        "id long, text string, w long")
+    rows = infix_suggest(df, "text", "w", "vec", key_cols=["id"]).collect()
+    # token-boundary prefix: matches docs 0 and 2, NOT the infix of doc 1
+    assert [r["id"] for r in rows] == [0, 2]   # weight desc

@@ -986,6 +986,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_range_totalprice"] = lambda s, sf: sx.facet_range(
         _t(s, sf, "orders"), "o_totalprice", start=0.0, gap=50000.0
     ).select("bucket", "cnt", F.round("bucket_start", 2).alias("bucket_start"))
+    q["facet_pivot_stats_orders"] = lambda s, sf: sx.facet_pivot_stats(
+        _t(s, sf, "orders"), ["o_orderstatus", "o_orderpriority"],
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        F.min("o_totalprice").alias("min_p"),
+        F.max("o_totalprice").alias("max_p"),
+    )
+    q["group_ngroups_orders"] = lambda s, sf: sx.group_ngroups(
+        _t(s, sf, "orders"), "o_custkey")
+    q["facet_range_date_events"] = lambda s, sf: sx.facet_range_date(
+        _events_ntz(s, sf), "ts", "2024-01-01", 7)
     q["facet_range_other_price"] = lambda s, sf: sx.facet_range_other(
         _t(s, sf, "orders"), "o_totalprice",
         start=50000.0, gap=100000.0, end=420000.0, hardend=False,
@@ -2738,6 +2748,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT NULL AS lang,
                    (SELECT COUNT(*) FROM documents WHERE lang IS NULL) AS cnt
+        """,
+        "facet_pivot_stats_orders": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+            ORDER BY cnt DESC, o_orderstatus, o_orderpriority LIMIT 1000
+        """,
+        "group_ngroups_orders": """
+            SELECT COUNT(DISTINCT o_custkey) AS ngroups,
+                   COUNT(*) AS matches FROM orders
+        """,
+        "facet_range_date_events": """
+            SELECT CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) / 7.0) AS BIGINT) AS bucket,
+                   COUNT(*) AS cnt
+            FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+            GROUP BY 1 ORDER BY bucket
         """,
         "facet_range_other_price": """
             SELECT 'before' AS label,

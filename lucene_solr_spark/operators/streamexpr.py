@@ -258,6 +258,50 @@ def facet_pivot(df: DataFrame, fields: Sequence[str], limit: int = 1000) -> Data
     )
 
 
+def facet_pivot_stats(df: DataFrame, fields: Sequence[str],
+                      *stats: Column, limit: int = 1000) -> DataFrame:
+    """Solr ``facet.pivot={!stats=tag}`` (`[U] solr/core/.../handler/
+    component/FacetComponent.java` stats-attached pivots): nested term
+    counts PLUS per-bucket stat values, one grouped aggregate — the
+    refinement pass Solr needs across shards is exact by construction
+    under Spark's shuffle groupBy."""
+    return (
+        df.groupBy(*fields).agg(F.count(F.lit(1)).alias("cnt"), *stats)
+        .orderBy(F.desc("cnt"), *[F.asc(f) for f in fields])
+        .limit(limit)
+    )
+
+
+def group_ngroups(df: DataFrame, key: str) -> DataFrame:
+    """Solr ``group=true&group.ngroups=true``: total distinct group
+    count next to the total match count (one partial+final agg)."""
+    return df.agg(
+        F.count_distinct(F.col(key)).alias("ngroups"),
+        F.count(F.lit(1)).alias("matches"),
+    )
+
+
+def facet_range_date(df: DataFrame, fld: str, start: str, gap_days: int,
+                     end: Optional[str] = None) -> DataFrame:
+    """Date range facet with a calendar gap (Solr
+    ``facet.range.gap=+NDAYS`` — `[U] .../search/facet/FacetRange.java`
+    + ``DateMathParser``): day-granular buckets of width ``gap_days``
+    from ``start``. Bucket arithmetic is integer day-diff (no decimal,
+    no timezone formatting) so the result hashes stably across
+    engines."""
+    d = F.to_date(F.col(fld))
+    lo = F.to_date(F.lit(start))
+    b = F.floor(F.datediff(d, lo) / F.lit(gap_days)).cast("long")
+    out = df.filter(d >= lo)
+    if end is not None:
+        out = out.filter(d < F.to_date(F.lit(end)))
+    return (
+        out.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
 def stats_component(df: DataFrame, fld: str) -> DataFrame:
     """`[U] solr/core/.../handler/component/StatsComponent.java` — the
     min/max/sum/count/mean/stddev/missing bundle in one agg."""

@@ -138,3 +138,25 @@ def test_facet_range_include_hardend_other(spark):
                                 hardend=False).collect()
     assert [(r["label"], r["cnt"]) for r in rows] == [
         ("before", 2), ("between", 5), ("after", 1)]
+
+
+def test_pivot_stats_ngroups_daterange(spark):
+    from lucene_solr_spark.operators import streamexpr as sx
+    df = spark.createDataFrame(
+        [("A", "x", 10.0), ("A", "x", 30.0), ("A", "y", 5.0), ("B", "y", 7.0)],
+        "g string, h string, v double")
+    rows = sx.facet_pivot_stats(
+        df, ["g", "h"],
+        F.sum("v").alias("sv"), F.max("v").alias("mx")).collect()
+    assert [(r["g"], r["h"], r["cnt"], r["sv"], r["mx"]) for r in rows] == [
+        ("A", "x", 2, 40.0, 30.0), ("A", "y", 1, 5.0, 5.0),
+        ("B", "y", 1, 7.0, 7.0)]
+    row = sx.group_ngroups(df, "g").collect()[0]
+    assert (row["ngroups"], row["matches"]) == (2, 4)
+    ts = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-07 23:00:00",),
+         ("2024-01-08 00:30:00",), ("2023-12-31 09:00:00",)],
+        "ts string").select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    rows = sx.facet_range_date(ts, "ts", "2024-01-01", 7).collect()
+    # week 0 = Jan 1-7, week 1 = Jan 8-14; pre-start row filtered out
+    assert [(r["bucket"], r["cnt"]) for r in rows] == [(0, 2), (1, 1)]

@@ -1221,6 +1221,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 2 (strictly-past-cursor top-rows, never a start+rows-deep sort)
     # cross-joined with the lang facet digest over the match set
     q["solr_select_edismax"] = _solr_select_edismax
+    # sort by FUNCTION QUERY through the facade (Solr sort=abs(...) asc
+    # — ValueSourceParser dispatch in the sort spec)
+    q["solr_select_sortfunc"] = lambda s, sf: sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": "spark", "sort": "abs(sub(doc_id,200)) asc",
+         "rows": 8, "fl": ["doc_id"]},
+    ).docs.select(F.col("position").cast("long").alias("position"), "doc_id")
+    # /export handler: full sorted result-set streaming (no top-k cap)
+    q["export_lineitem_sorted"] = lambda s, sf: sx.export_sorted(
+        _t(s, sf, "lineitem").filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+        F.asc("l_orderkey"), F.asc("l_linenumber"))
     # QueryElevationComponent: editorial pins in config order (7 then
     # 2, score 0 when unmatched), id 1 excluded, rest by score
     q["elevation_topk"] = lambda s, sf: sel.query_elevation(
@@ -2399,6 +2411,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang HAVING COUNT(*) >= 1
             ORDER BY cnt DESC, lang LIMIT 100
+        """,
+        "solr_select_sortfunc": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            m AS (SELECT doc_id FROM toks
+                  WHERE len(list_filter(tk, x -> x = 'spark')) > 0)
+            SELECT position, doc_id FROM (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY ABS(doc_id - 200), doc_id)
+                       AS position
+              FROM m) WHERE position <= 8 ORDER BY position
+        """,
+        "export_lineitem_sorted": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity > 45
+            ORDER BY l_orderkey, l_linenumber
         """,
         "suggest_infix": """
             SELECT doc_id, n_chars FROM documents

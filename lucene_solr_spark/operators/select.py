@@ -128,6 +128,22 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
         order_cols = [F.desc("score") if direction == "desc" else F.asc("score"),
                       F.asc("doc_id")]
         sort_col = "score"
+    elif "(" in sort_field:
+        # sort by function query (Solr `sort=abs(sub(x,y)) asc` —
+        # ValueSourceParser dispatch): parse the Solr function text to
+        # a Column, join ONLY the stored fields it references
+        import re as _re
+
+        from ..functions.funcparser import parse_function_query
+
+        refs = [c for c in idx.docmeta.columns
+                if c != "doc_id" and _re.search(rf"\b{c}\b", sort_field)]
+        ordered = matches.join(
+            idx.docmeta.select("doc_id", *refs), "doc_id", "left"
+        ).withColumn("__sortv", parse_function_query(sort_field))
+        order_cols = [F.desc("__sortv") if direction == "desc"
+                      else F.asc("__sortv"), F.asc("doc_id")]
+        sort_col = "__sortv"
     else:
         ordered = matches.join(
             idx.docmeta.select("doc_id", sort_field), "doc_id", "left")

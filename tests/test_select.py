@@ -217,3 +217,17 @@ def test_local_params_filters(spark):
     assert parse_local_params("{!terms f=x separator=|}1|2")[1]["separator"] == "|"
     with _pytest.raises(FunctionQueryError):
         local_params_filter("{!unknown}x")
+
+
+def test_sort_by_function_query(idx):
+    from lucene_solr_spark.operators.select import solr_select
+
+    resp = solr_select(idx, {"q": "spark", "sort": "abs(sub(doc_id,50)) asc",
+                             "rows": 5, "fl": ["doc_id"]})
+    rows = resp.docs.collect()
+    ids = [r["doc_id"] for r in rows]
+    # closest-to-50 first, doc_id tiebreak; verify against the match set
+    all_ids = [r["doc_id"] for r in resp.matches.collect()]
+    exp = sorted(all_ids, key=lambda i: (abs(i - 50), i))[:5]
+    assert ids == exp
+    assert [r["position"] for r in rows] == [1, 2, 3, 4, 5]

@@ -946,6 +946,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_prefix_topk"] = lambda s, sf: _bm25(s, sf, "spar*")
     q["bm25_wildcard_topk"] = lambda s, sf: _bm25(s, sf, "w?ndow")
     q["bm25_fuzzy_topk"] = lambda s, sf: _bm25(s, sf, "spark~1")
+    # leading wildcard over a reversed_wildcard index: rewritten to a
+    # marker-prefix scan (ReversedWildcardFilterFactory) — the oracle
+    # computes the SEMANTIC doc set (any token ending in 'ark') from
+    # the plain token stream, so it independently checks the rewrite
+    q["leading_wildcard_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="reversed_wildcard").search("*ark", k=10))
     q["bm25_range_topk"] = lambda s, sf: _bm25(s, sf, "[spark TO spars]")
     q["bm25_boost_topk"] = lambda s, sf: _bm25(s, sf, "spark^2 OR merge")
     q["bm25_dismax_topk"] = lambda s, sf: _rank_topk(
@@ -2741,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix_topk": _bm25_sql_constant("t LIKE 'spar%'"),
         "bm25_wildcard_topk": _bm25_sql_constant("regexp_full_match(t, 'w.ndow')"),
         "bm25_range_topk": _bm25_sql_constant("t >= 'spark' AND t <= 'spars'"),
+        "leading_wildcard_topk": _bm25_sql_constant("t LIKE '%ark'"),
         "bm25_fuzzy_topk": _bm25_sql_disjunction(
             [(t, 1.0) for t in _fuzzy_expansion("spark", 1)]),
         "bm25_boost_topk": _bm25_sql_disjunction(

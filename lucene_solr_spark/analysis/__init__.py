@@ -81,7 +81,16 @@ _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
               "synonym_demo": TOKEN_RE,
               "phonetic": TOKEN_RE,
               "word_delimiter": re.compile(r"\S+"),
-              "common_grams": TOKEN_RE}
+              "common_grams": TOKEN_RE,
+              "reversed_wildcard": TOKEN_RE}
+
+#: ReversedWildcardFilter marker (`[U] lucene/analysis/common/.../
+#: reverse/ReverseStringFilter.java :: START_OF_HEADING_MARKER` via
+#: `solr/core/.../analysis/ReversedWildcardFilterFactory.java`): every
+#: token is ALSO indexed as U+0001 + reversed text at the same
+#: position (withOriginal=true), so a leading wildcard rewrites to a
+#: scan-pushdown-able PREFIX over the marked twins.
+REVERSE_MARKER = "\x01"
 
 # EdgeNGram bounds (`[U] lucene/analysis/common/.../ngram/
 # EdgeNGramTokenFilter.java`): emit prefixes of length min..max per
@@ -269,10 +278,23 @@ def _emit_phonetic(raw):
 #: source token may yield several terms (shingles, grams, synonyms).
 #: These route through the explicit-positions build path (like stop
 #: gaps); dl = number of EMITTED tokens (FieldInvertState semantics).
+def _emit_reversed(raw):
+    """ReversedWildcardFilter, withOriginal=true: each token plus its
+    marker-prefixed reverse at the SAME position (posIncr 0) — phrases
+    and proximity see only the originals; leading wildcards rewrite to
+    a prefix over the marked twins (IndexReader._expand)."""
+    out = []
+    for i, t in enumerate(raw):
+        out.append((t, i))
+        out.append((REVERSE_MARKER + t[::-1], i))
+    return out
+
+
 _EMITTERS = {"shingle": _emit_shingle, "edge_ngram": _emit_edge_ngram,
              "synonym_demo": _emit_synonym, "phonetic": _emit_phonetic,
              "word_delimiter": _emit_word_delimiter,
-             "common_grams": _emit_common_grams}
+             "common_grams": _emit_common_grams,
+             "reversed_wildcard": _emit_reversed}
 
 #: emitters whose output stream is strictly one term per position (no
 #: stacking) — phrase queries can use the emitted stream directly.

@@ -703,6 +703,20 @@ class IndexReader:
     # reach the driver.
     def _expand(self, q: Query) -> Query:
         if isinstance(q, MultiTermQuery):
+            if (q.kind == "wildcard" and q.pattern[:1] in ("*", "?")
+                    and self.manifest.analyzer == "reversed_wildcard"):
+                # ReversedWildcardFilterFactory rewrite (`[U] solr/core/
+                # .../parser/SolrQueryParserBase.java :: getWildcardQuery`):
+                # a leading wildcard becomes a wildcard over the
+                # marker-prefixed REVERSED twins — "*ark" -> "\x01kra*",
+                # whose literal prefix now reaches the parquet scan as a
+                # StartsWith pushdown instead of a full-dictionary scan
+                from dataclasses import replace as _dc_replace
+
+                from ..analysis import REVERSE_MARKER
+
+                q = _dc_replace(
+                    q, pattern=REVERSE_MARKER + q.pattern[::-1])
             if q.kind == "fuzzy":
                 return expand_multiterm(q, self._matching_terms(q))
             return expand_multiterm(q, [])  # predicate stays in the tree

@@ -223,3 +223,41 @@ def test_spanfirst_subset_of_term(idx_pair):
     wide = {r["doc_id"]
             for r in reader.score_all(SpanFirstQuery("spark", 1 << 30)).collect()}
     assert wide == all_docs
+
+
+def test_reversed_wildcard_leading(spark, tmp_path):
+    """ReversedWildcardFilter: leading wildcards rewrite to a prefix
+    over the marker-reversed twins — same doc set as the full-dict
+    scan, but the scan condition becomes a StartsWith pushdown."""
+    from lucene_solr_spark.analysis import REVERSE_MARKER
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+    from lucene_solr_spark.plans.query import MultiTermQuery, scan_prefix
+
+    docs = [(0, "spark merge dark"), (1, "mark the spot"),
+            (2, "nothing here"), (3, "parka shark bark")]
+    df = spark.createDataFrame(
+        [(i, t, "r", f"p/{i}", "c", "en") for i, t in docs],
+        "doc_id long, content string, repo string, path string, "
+        "commit string, lang string")
+    d = str(tmp_path / "rw")
+    build_index(spark, df, d, docs_per_seg=2, analyzer="reversed_wildcard")
+    idx = IndexReader(spark, d)
+
+    q = MultiTermQuery(kind="wildcard", pattern="*ark")
+    got = sorted(r["doc_id"] for r in idx.search(q, k=10).collect())
+    assert got == [0, 1, 3]            # dark, mark, shark/bark — not parka
+    # the rewritten node carries a literal scan prefix (pushdown-able)
+    rw = idx._expand(q)
+    inner = rw.query if hasattr(rw, "query") else rw
+    assert inner.pattern == REVERSE_MARKER + "kra*"
+    assert scan_prefix(inner) == REVERSE_MARKER + "kra"
+    # un-rewritten, the same pattern has NO scan prefix (full dict scan)
+    assert scan_prefix(q) == ""
+    # trailing wildcard unaffected: matches originals only
+    got = sorted(r["doc_id"] for r in idx.search(
+        MultiTermQuery(kind="wildcard", pattern="spa*"), k=10).collect())
+    assert got == [0]
+    # phrases see only original tokens (reversed twins are posIncr 0)
+    got = sorted(r["doc_id"] for r in idx.search('"spark merge"', k=10).collect())
+    assert got == [0]

@@ -1266,6 +1266,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
              F.col("count(*)").alias("cnt"),
              F.col("sum(cents)").alias("sum_cents"))
+    # fetch(): batch stored-field enrichment through the TEXT parser
+    q["streamexpr_text_fetch"] = lambda s, sf: sp.parse_stream_expr(
+        'fetch(customer, search(orders, q="o_totalprice:[400000 TO *]", '
+        'fl="o_orderkey,o_custkey"), on="o_custkey=c_custkey", '
+        'fl="c_mktsegment")',
+        {"orders": _t(s, sf, "orders"), "customer": _t(s, sf, "customer")},
+    )
 
     # ---- JSON Facet API request shape (SURVEY §2.6 FacetRequest):
     # nested spec -> terms facet with per-bucket stats + sub-facet
@@ -2389,6 +2396,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus, o_orderpriority
             HAVING COUNT(*) >= 1
             ORDER BY cnt DESC, o_orderstatus, o_orderpriority
+        """,
+        "streamexpr_text_fetch": """
+            SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
+            FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE o.o_totalprice >= 400000
         """,
         "json_facet_sorted": """
             SELECT lang, COUNT(*) AS cnt,

@@ -325,6 +325,52 @@ def _eval(c: Call, env: Dict[str, DataFrame]) -> DataFrame:
                 df = df.filter(getattr(F.col(fld), op)(lit))
         aggs = _aggs(c) or [F.count(F.lit(1)).alias("count(*)")]
         return sx.timeseries_stream(df, fld, _gap_interval(str(p["gap"])), *aggs)
+    if n == "fetch":
+        # fetch(collection, stream, on="streamField=collectionField",
+        #       fl="a,b") — batch-enrich the stream with stored fields
+        # (`[U] solr/solrj/.../io/stream/FetchStream.java`): a LEFT
+        # join shipping only the fl columns of the fetch side
+        src = c.args[0]
+        if not isinstance(src, str) or src not in env:
+            raise StreamExprError(f"unknown collection {src!r}")
+        on = str(p["on"])
+        lkey, rkey = ([s.strip() for s in on.split("=", 1)]
+                      if "=" in on else (on.strip(), on.strip()))
+        fl = [f.strip() for f in str(p["fl"]).split(",")]
+        right = env[src].select(F.col(rkey).alias(lkey), *fl)
+        return inner[0].join(right, lkey, "left")
+    if n == "significantTerms":
+        # significantTerms(collection, q=..., field=..., limit=...) —
+        # foreground (q matches) vs background (whole collection)
+        src = c.args[0]
+        if not isinstance(src, str) or src not in env:
+            raise StreamExprError(f"unknown collection {src!r}")
+        fg = _q_filter(env[src], str(p.get("q", "*:*")))
+        return sx.significant_terms(fg, env[src], str(p["field"]),
+                                    limit=int(str(p.get("limit", 20))))
+    if n == "nodes":
+        # nodes(edgesCollection, <seed stream>, walk="a->b") — one-hop
+        # (or hops=N) gatherNodes over the edge table
+        src = c.args[0]
+        if not isinstance(src, str) or src not in env:
+            raise StreamExprError(f"unknown collection {src!r}")
+        from .graph import gather_nodes
+
+        walk = str(p["walk"])
+        if "->" not in walk:
+            raise StreamExprError(f"walk must be 'from->to', got {walk!r}")
+        frm, to = [s.strip() for s in walk.split("->", 1)]
+        return gather_nodes(env[src], inner[0], frm, to,
+                            hops=int(str(p.get("hops", 1))))
+    if n == "stats":
+        src = c.args[0]
+        if not isinstance(src, str) or src not in env:
+            raise StreamExprError(f"unknown collection {src!r}")
+        df = _q_filter(env[src], str(p.get("q", "*:*")))
+        aggs = _aggs(c)
+        if not aggs:
+            raise StreamExprError("stats() needs at least one metric")
+        return df.agg(*aggs)
     if n == "parallel":
         workers = int(str(p.get("workers", "0")))
         keys = ([f.strip() for f in str(p["partitionKeys"]).split(",")]

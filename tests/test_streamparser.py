@@ -137,3 +137,40 @@ def test_gap_interval_parse():
     assert _gap_interval("+30MINUTES") == "30 minute"
     with pytest.raises(StreamExprError):
         _gap_interval("+1MONTH")
+
+
+def test_fetch_significant_nodes_stats(spark, sf_dir):
+    from lucene_solr_spark.operators.streamparser import parse_stream_expr
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    env = {"orders": orders, "customer": cust}
+    out = parse_stream_expr(
+        'fetch(customer, search(orders, q="o_totalprice:[400000 TO *]", '
+        'fl="o_orderkey,o_custkey"), on="o_custkey=c_custkey", '
+        'fl="c_mktsegment")', env)
+    exp = (orders.filter(F.col("o_totalprice") >= 400000)
+           .select("o_orderkey", "o_custkey")
+           .join(cust.select(F.col("c_custkey").alias("o_custkey"),
+                             "c_mktsegment"), "o_custkey", "left"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exp.collect()))
+
+    sig = parse_stream_expr(
+        'significantTerms(orders, q="o_totalprice:[400000 TO *]", '
+        'field=o_orderpriority, limit=3)', env)
+    assert 0 < sig.count() <= 3
+
+    st = parse_stream_expr(
+        'stats(orders, q="o_orderstatus:F", sum(o_totalprice), count(*))', env)
+    row = st.collect()[0]
+    f = orders.filter(F.col("o_orderstatus") == "F")
+    assert row["count(*)"] == f.count()
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 9)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "src long")
+    out = parse_stream_expr(
+        'nodes(edges, search(seeds, q="*:*", fl="src"), walk="src->dst", '
+        'hops=2)', {"edges": edges, "seeds": seeds})
+    got = {(r["node"], r["level"]) for r in out.collect()}
+    assert got == {(1, 0), (2, 1), (3, 2)}

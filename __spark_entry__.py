@@ -1280,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_facet_nested"] = lambda s, sf: _json_facet_req(
         _t(s, sf, "orders"))["status:o_orderstatus/o_orderpriority"]
     q["json_facet_sorted"] = _json_facet_sorted
+    q["json_facet_block_children"] = _json_facet_block_children
 
     # ---- the north_rule per-row invariant, driver-adjudicated: every
     # indexed doc's stored sha256 must equal the hash of the source
@@ -2183,6 +2184,27 @@ def _json_facet_orders(s: SparkSession, sf: str) -> DataFrame:
         "o_orderstatus", "cnt", "rev", "uniq_cust")
 
 
+def _json_facet_block_children(s: SparkSession, sf: str) -> DataFrame:
+    """domain.blockChildren: facet the CHILD docs (lineitem) of the
+    filtered parent domain (expensive orders) — terms on l_returnflag
+    with an exact bigint-cents revenue stat."""
+    from lucene_solr_spark.operators import jsonfacet as jf
+
+    return jf.json_facet(
+        _t(s, sf, "orders"),
+        {"flags": {
+            "type": "terms", "field": "l_returnflag",
+            "sort": "count desc",
+            "domain": {
+                "filter": "o_totalprice > 400000",
+                "blockChildren": {"child": _t(s, sf, "lineitem"),
+                                  "parent_key": "o_orderkey",
+                                  "child_key": "l_orderkey"}},
+            "facet": {"qty": "sum(l_quantity)"}}},
+    )["flags"].select("l_returnflag", "cnt",
+                      F.round("qty", 2).alias("qty"))
+
+
 def _json_facet_sorted(s: SparkSession, sf: str) -> DataFrame:
     """JSON-Facet knob coverage: domain.filter swaps the base domain,
     sort names a sibling stat facet, limit applies after the stat
@@ -2401,6 +2423,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
             FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
             WHERE o.o_totalprice >= 400000
+        """,
+        "json_facet_block_children": """
+            SELECT l_returnflag, COUNT(*) AS cnt,
+                   ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 400000)
+              AND l_returnflag IS NOT NULL
+            GROUP BY l_returnflag HAVING COUNT(*) >= 1
+            ORDER BY cnt DESC, l_returnflag LIMIT 100
         """,
         "json_facet_sorted": """
             SELECT lang, COUNT(*) AS cnt,

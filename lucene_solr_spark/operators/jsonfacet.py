@@ -166,6 +166,23 @@ def json_facet(df: DataFrame, request: Dict) -> Dict[str, DataFrame]:
         if "filter" in dom:
             fq = dom["filter"]
             base = df.filter(F.expr(fq) if isinstance(fq, str) else fq)
+        if "blockChildren" in dom:
+            # Solr `domain: {blockChildren: "..."}": switch the facet
+            # domain from the matched PARENTS to their child docs
+            # (`[U] solr/core/.../search/facet/FacetRequest.java` +
+            # `join/BlockJoinChildQuery`). Nested docs live in one
+            # Lucene segment; the relational equivalent is a child
+            # table semi-joined to the current domain's parent keys —
+            # ids only move, and a small parent set broadcasts.
+            bc = dom["blockChildren"]
+            keys = base.select(
+                F.col(bc["parent_key"]).alias(bc["child_key"])).distinct()
+            base = bc["child"].join(keys, bc["child_key"], "left_semi")
+        if "blockParent" in dom:
+            bp = dom["blockParent"]
+            keys = base.select(
+                F.col(bp["child_key"]).alias(bp["parent_key"])).distinct()
+            base = bp["parent"].join(keys, bp["parent_key"], "left_semi")
         if ftype == "terms":
             frames = _terms(base, spec, [])
             # top-level frame keeps the user's facet name

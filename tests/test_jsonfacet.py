@@ -160,3 +160,29 @@ def test_pivot_stats_ngroups_daterange(spark):
     rows = sx.facet_range_date(ts, "ts", "2024-01-01", 7).collect()
     # week 0 = Jan 1-7, week 1 = Jan 8-14; pre-start row filtered out
     assert [(r["bucket"], r["cnt"]) for r in rows] == [(0, 2), (1, 1)]
+
+
+def test_block_domain_switches(spark):
+    parents = spark.createDataFrame(
+        [(1, "big"), (2, "small"), (3, "big")], "pid long, size string")
+    children = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (3, "y"), (3, "y")],
+        "pid long, tag string")
+    out = json_facet(parents, {
+        "tags": {"type": "terms", "field": "tag",
+                 "domain": {"filter": "size = 'big'",
+                            "blockChildren": {"child": children,
+                                              "parent_key": "pid",
+                                              "child_key": "pid"}}},
+    })
+    got = {(r["tag"], r["cnt"]) for r in out["tags"].collect()}
+    assert got == {("x", 1), ("y", 3)}   # children of parents 1 and 3
+    out = json_facet(children, {
+        "sizes": {"type": "terms", "field": "size",
+                  "domain": {"filter": "tag = 'x'",
+                             "blockParent": {"parent": parents,
+                                             "parent_key": "pid",
+                                             "child_key": "pid"}}},
+    })
+    got = {(r["size"], r["cnt"]) for r in out["sizes"].collect()}
+    assert got == {("big", 1), ("small", 1)}   # parents 1 and 2

@@ -1281,6 +1281,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "orders"))["status:o_orderstatus/o_orderpriority"]
     q["json_facet_sorted"] = _json_facet_sorted
     q["json_facet_block_children"] = _json_facet_block_children
+    # {!parent}/{!child} local-params block-join parsers
+    q["blockjoin_parent_filter"] = lambda s, sf: sx.block_join_query(
+        "{!parent}l_quantity:[49 TO *]",
+        _t(s, sf, "orders"), _t(s, sf, "lineitem"),
+        "o_orderkey", "l_orderkey",
+    ).select("o_orderkey", "o_orderstatus")
+    q["blockjoin_child_filter"] = lambda s, sf: sx.block_join_query(
+        "{!child}o_orderpriority:1-URGENT",
+        _t(s, sf, "orders"), _t(s, sf, "lineitem"),
+        "o_orderkey", "l_orderkey",
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
     # ---- the north_rule per-row invariant, driver-adjudicated: every
     # indexed doc's stored sha256 must equal the hash of the source
@@ -2423,6 +2434,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
             FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
             WHERE o.o_totalprice >= 400000
+        """,
+        "blockjoin_parent_filter": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity >= 49)
+        """,
+        "blockjoin_child_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
         """,
         "json_facet_block_children": """
             SELECT l_returnflag, COUNT(*) AS cnt,

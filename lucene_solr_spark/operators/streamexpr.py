@@ -513,6 +513,30 @@ def block_join_parent(children: DataFrame, parents: DataFrame,
     return parents.join(matched, parent_key, "inner")
 
 
+def block_join_query(text: str, parent: DataFrame, child: DataFrame,
+                     parent_key: str, child_key: str) -> DataFrame:
+    """``{!parent}childQuery`` / ``{!child}parentQuery`` local-params
+    block-join parsers (`[U] solr/core/.../search/join/
+    BlockJoinParentQParserPlugin.java` + ``BlockJoinChildQParserPlugin``):
+    the text body is a Solr q over the OTHER side; the result is the
+    parents having >= 1 matching child (or the children of matching
+    parents). Spark shape: filter the queried side, semi-join keys —
+    only ids cross the shuffle, a small filtered side broadcasts."""
+    from ..functions.funcparser import parse_local_params
+    from .streamparser import _q_filter
+
+    qtype, _, body = parse_local_params(text)
+    if qtype == "parent":
+        keys = (_q_filter(child, body)
+                .select(F.col(child_key).alias(parent_key)).distinct())
+        return parent.join(keys, parent_key, "left_semi")
+    if qtype == "child":
+        keys = (_q_filter(parent, body)
+                .select(F.col(parent_key).alias(child_key)).distinct())
+        return child.join(keys, child_key, "left_semi")
+    raise ValueError(f"unsupported block-join local-params {qtype!r}")
+
+
 def stats_distinct(df: DataFrame, fld: str, approx: bool = False) -> DataFrame:
     """`[U] solr/core/.../search/facet/HLLAgg.java` / ``unique`` agg:
     cardinality of a field. ``approx=True`` uses HyperLogLog++

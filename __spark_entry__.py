@@ -1282,6 +1282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_facet_sorted"] = _json_facet_sorted
     q["json_facet_block_children"] = _json_facet_block_children
     # {!parent}/{!child} local-params block-join parsers
+    # UpdateRequestProcessor chain: pure-column field mutators applied
+    # in order at ingest (regex digits->#, copyField, lower, trim)
+    q["urp_chain_digest"] = _urp_chain_digest
     q["blockjoin_parent_filter"] = lambda s, sf: sx.block_join_query(
         "{!parent}l_quantity:[49 TO *]",
         _t(s, sf, "orders"), _t(s, sf, "lineitem"),
@@ -2195,6 +2198,21 @@ def _json_facet_orders(s: SparkSession, sf: str) -> DataFrame:
         "o_orderstatus", "cnt", "rev", "uniq_cust")
 
 
+def _urp_chain_digest(s: SparkSession, sf: str) -> DataFrame:
+    from lucene_solr_spark.sources import apply_update_processors
+
+    out = apply_update_processors(
+        _docs(s, sf),
+        [{"regex_replace": {"field": "text", "pattern": "[0-9]+",
+                            "replacement": "#"}},
+         {"copy_field": {"source": "lang", "dest": "lang_code"}},
+         {"lower": ["source"]},
+         {"trim": ["text"]}],
+    )
+    return out.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"),
+                      "lang_code", "source")
+
+
 def _json_facet_block_children(s: SparkSession, sf: str) -> DataFrame:
     """domain.blockChildren: facet the CHILD docs (lineitem) of the
     filtered parent domain (expensive orders) — terms on l_returnflag
@@ -2434,6 +2452,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
             FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
             WHERE o.o_totalprice >= 400000
+        """,
+        "urp_chain_digest": """
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(text, '[0-9]+', '#', 'g')))
+                     AS text_sha,
+                   lang AS lang_code,
+                   lower(source) AS source
+            FROM documents
         """,
         "blockjoin_parent_filter": """
             SELECT o_orderkey, o_orderstatus FROM orders

@@ -21,6 +21,7 @@ __all__ = [
     "load_documents", "load_source_table", "load_source_any", "load_jdbc",
     "synth_repo_files", "synth_rows",
     "synth_corpus_local", "assign_doc_ids", "SOURCE_SCHEMA",
+    "apply_update_processors",
 ]
 
 SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
@@ -213,3 +214,53 @@ def assign_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit"),
 
     result = ranged.mapInPandas(number, schema=out_schema)
     return result
+
+
+def apply_update_processors(df: DataFrame, chain) -> DataFrame:
+    """UpdateRequestProcessor chain (`[U] solr/core/src/java/org/apache/
+    solr/update/processor/` — TrimFieldUpdateProcessorFactory,
+    RegexReplaceProcessorFactory, DefaultValueUpdateProcessorFactory,
+    CloneFieldUpdateProcessorFactory / schema copyField,
+    RemoveBlankFieldUpdateProcessorFactory): each processor is a pure
+    column expression applied in chain order, so the whole chain stays
+    inside whole-stage codegen — no UDF, nothing leaves the JVM.
+
+    ``chain`` is a list of single-key dicts, applied in order:
+
+        {"trim": [fields...]}               strip surrounding whitespace
+        {"lower": [fields...]}              lowercase
+        {"regex_replace": {"field": f, "pattern": p, "replacement": r}}
+        {"copy_field": {"source": s, "dest": d}}     schema copyField
+        {"default_value": {"field": f, "value": v}}  fill NULLs
+        {"remove_blank": [fields...]}       '' -> NULL (then default
+                                            rules or absence semantics)
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    for proc in chain:
+        (kind, arg), = proc.items()
+        if kind == "trim":
+            for f in arg:
+                out = out.withColumn(f, F.trim(F.col(f)))
+        elif kind == "lower":
+            for f in arg:
+                out = out.withColumn(f, F.lower(F.col(f)))
+        elif kind == "regex_replace":
+            out = out.withColumn(
+                arg["field"],
+                F.regexp_replace(F.col(arg["field"]), arg["pattern"],
+                                 arg["replacement"]))
+        elif kind == "copy_field":
+            out = out.withColumn(arg["dest"], F.col(arg["source"]))
+        elif kind == "default_value":
+            out = out.withColumn(
+                arg["field"],
+                F.coalesce(F.col(arg["field"]), F.lit(arg["value"])))
+        elif kind == "remove_blank":
+            for f in arg:
+                out = out.withColumn(
+                    f, F.when(F.col(f) == "", None).otherwise(F.col(f)))
+        else:
+            raise ValueError(f"unknown update processor {kind!r}")
+    return out

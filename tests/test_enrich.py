@@ -240,3 +240,28 @@ def test_rerank_query_window_semantics(reader):
                         k=10, rerank_docs=20, rerank_weight=0.0).collect()
     main = idx.search("spark OR merge", k=10).collect()
     assert [r["doc_id"] for r in base] == [r["doc_id"] for r in main]
+
+
+def test_update_processor_chain(spark):
+    from lucene_solr_spark.sources import apply_update_processors
+
+    df = spark.createDataFrame(
+        [(1, "  Hello 42 ", "EN", ""), (2, None, "FR", "web")],
+        "id long, t string, l string, s string")
+    out = apply_update_processors(df, [
+        {"trim": ["t"]},
+        {"regex_replace": {"field": "t", "pattern": "[0-9]+",
+                           "replacement": "#"}},
+        {"lower": ["l"]},
+        {"copy_field": {"source": "l", "dest": "l2"}},
+        {"remove_blank": ["s"]},
+        {"default_value": {"field": "t", "value": "(empty)"}},
+    ])
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["t"] == "Hello #"
+    assert rows[1]["l"] == "en" and rows[1]["l2"] == "en"
+    assert rows[1]["s"] is None           # blank removed
+    assert rows[2]["t"] == "(empty)"      # default filled the NULL
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        apply_update_processors(df, [{"nope": []}])

@@ -1227,6 +1227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 2 (strictly-past-cursor top-rows, never a start+rows-deep sort)
     # cross-joined with the lang facet digest over the match set
     q["solr_select_edismax"] = _solr_select_edismax
+    # q.op=AND: the classic parser's default operator turns implicit
+    # adjacency into MUST clauses; scored identically to the explicit
+    # conjunction (the oracle IS the conjunction oracle)
+    q["solr_select_qop_and"] = lambda s, sf: sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": "spark merge join", "q.op": "AND", "rows": 10},
+    ).docs.select(
+        F.col("position").cast("long").alias("rank"), "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r"))
     # sort by FUNCTION QUERY through the facade (Solr sort=abs(...) asc
     # — ValueSourceParser dispatch in the sort spec)
     q["solr_select_sortfunc"] = lambda s, sf: sel.solr_select(
@@ -2509,6 +2518,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang HAVING COUNT(*) >= 1
             ORDER BY cnt DESC, lang LIMIT 100
         """,
+        "solr_select_qop_and": _bm25_sql_conjunction(
+            [("spark", 1.0), ("merge", 1.0), ("join", 1.0)]),
         "solr_select_sortfunc": """
             WITH toks AS (
               SELECT doc_id,

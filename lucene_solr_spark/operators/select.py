@@ -79,8 +79,10 @@ def _fq_ids(idx, fq: str) -> DataFrame:
         parse_query(fq, analyzer=idx.manifest.analyzer)).select("doc_id")
 
 
-def _match_set(idx, q: str, fqs: Sequence[str]) -> DataFrame:
-    scored = idx.score_all(parse_query(q, analyzer=idx.manifest.analyzer))
+def _match_set(idx, q: str, fqs: Sequence[str],
+               default_op: str = "OR") -> DataFrame:
+    scored = idx.score_all(parse_query(q, analyzer=idx.manifest.analyzer,
+                                       default_op=default_op))
     for fq in fqs:
         scored = scored.join(_fq_ids(idx, fq), "doc_id", "left_semi")
     return scored
@@ -119,7 +121,8 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
         for fq in fqs:
             matches = matches.join(_fq_ids(idx, fq), "doc_id", "left_semi")
     else:
-        matches = _match_set(idx, q, fqs)
+        matches = _match_set(idx, q, fqs,
+                             default_op=str(params.get("q.op", "OR")))
 
     parts = sort.split()
     sort_field, direction = parts[0], (parts[1] if len(parts) > 1 else "asc")

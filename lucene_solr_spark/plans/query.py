@@ -364,10 +364,12 @@ class _Lexer:
 class _Parser:
     """Recursive descent for the classic subset. Precedence: NOT > AND > OR."""
 
-    def __init__(self, text: str, default_field: str, analyzer: str):
+    def __init__(self, text: str, default_field: str, analyzer: str,
+                 default_op: str = "OR"):
         self.lex = _Lexer(text)
         self.default_field = default_field
         self.analyzer = analyzer
+        self.default_op = default_op
 
     def parse(self) -> Query:
         q = self._or_expr(self.default_field)
@@ -386,8 +388,21 @@ class _Parser:
                 clauses.append(self._and_expr(fld))
             elif kind in ("lparen", "phrase", "fieldname", "word", "not",
                           "regex", "lbracket"):
-                # implicit operator: default OR (classic QueryParser default)
-                clauses.append(self._and_expr(fld))
+                # implicit operator: classic QueryParser applies the
+                # default operator (q.op) — OR unless AND is configured
+                # (`[U] .../queryparser/classic/QueryParserBase.java ::
+                # setDefaultOperator`)
+                nxt = self._and_expr(fld)
+                if self.default_op == "AND":
+                    prev = clauses.pop()
+                    must, must_not = [], []
+                    for c in (prev, nxt):
+                        (must_not if isinstance(c, _Neg) else must).append(
+                            c.query if isinstance(c, _Neg) else c)
+                    clauses.append(BooleanQuery(
+                        must=tuple(must), must_not=tuple(must_not)))
+                else:
+                    clauses.append(nxt)
             else:
                 break
         if len(clauses) == 1 and not explicit_or:
@@ -542,8 +557,9 @@ class _Neg:
     query: Query
 
 
-def parse_query(text: str, default_field: str = DEFAULT_FIELD, analyzer: str = "standard") -> Query:
-    q = _Parser(text, default_field, analyzer).parse()
+def parse_query(text: str, default_field: str = DEFAULT_FIELD,
+                analyzer: str = "standard", default_op: str = "OR") -> Query:
+    q = _Parser(text, default_field, analyzer, default_op).parse()
     if isinstance(q, _Neg):
         # pure negation: NOT x == MatchAll minus x
         q = BooleanQuery(must=(MatchAllQuery(),), must_not=(q.query,))

@@ -154,3 +154,19 @@ def test_scan_prefix_superset():
     assert scan_prefix(MultiTermQuery("regexp", "s(p|q)ark")) == "s"
     assert scan_prefix(MultiTermQuery("regexp", ".*ark")) == ""
     assert scan_prefix(MultiTermQuery("prefix", "spar")) == "spar"
+
+
+def test_default_operator_and():
+    from lucene_solr_spark.plans.query import BooleanQuery, parse_query
+
+    q = parse_query("spark merge vector", default_op="AND")
+    assert isinstance(q, BooleanQuery)
+    assert len(q.must) == 3 and not q.should
+    # explicit OR wins over the default operator
+    q = parse_query("spark OR merge vector", default_op="AND")
+    assert len(q.should) == 2
+    inner = q.should[1]
+    assert isinstance(inner, BooleanQuery) and len(inner.must) == 2
+    # NOT composes: "a -b" with AND default
+    q = parse_query("spark NOT merge", default_op="AND")
+    assert len(q.must) == 1 and len(q.must_not) == 1

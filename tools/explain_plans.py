@@ -80,6 +80,22 @@ def main() -> None:
         "merge, no global sort) == Lucene TopDocs.merge.",
     )
 
+    # 1a. leading wildcard on a reversed_wildcard index: the rewrite
+    # turns a full-dictionary scan into a literal-prefix pushdown
+    rw_idx = entry._index_for(spark, sf_dir, analyzer="reversed_wildcard")
+    from lucene_solr_spark.plans.query import MultiTermQuery
+
+    add(
+        "Leading wildcard (*ark) over a reversed_wildcard index",
+        rw_idx._per_segment(
+            rw_idx._expand(MultiTermQuery(kind="wildcard", pattern="*ark")),
+            10, "exhaustive"),
+        "Expect: PushedFilters with StringStartsWith(term, '\\x01kra') — "
+        "the ReversedWildcardFilter rewrite gives the scan a literal "
+        "prefix; without it the same query reads the whole term "
+        "dictionary (IsNotNull only).",
+    )
+
     # 2. facet agg: partial/final hash aggregate, codegen
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     add(

@@ -441,6 +441,36 @@ def _classic_sql_disjunction(terms, k: int = 10) -> str:
     ) + ctes + _bm25_rank_tail(scored, k))
 
 
+def _classic_sql_phrase(terms, k: int = 10, boost: float = 1.0) -> str:
+    """ClassicSimilarity exact phrase: tf = ordered adjacent matches;
+    weight = float32(boost * float32(sum_float64(per-term float32
+    idfs))) — idfExplain accumulates the float idfs in double
+    (functions/tfidf.classic_phrase_weight replayed in SQL)."""
+    distinct = list(dict.fromkeys(terms))
+    ctes = "".join(_classic_term_ctes(i, t, 1.0) for i, t in enumerate(distinct))
+    pos = {t: i for i, t in enumerate(distinct)}
+    idf32_of = {
+        t: (f"CAST(ln(((SELECT n_docs FROM stats) + 1) "
+            f"/ CAST((SELECT df FROM d{pos[t]}) + 1 AS DOUBLE)) + 1.0 AS REAL)")
+        for t in distinct}
+    idf_sum64 = " + ".join(f"CAST({idf32_of[t]} AS DOUBLE)" for t in terms)
+    w = f"CAST(CAST({idf_sum64} AS REAL) * CAST({boost!r} AS REAL) AS REAL)"
+    conds = " AND ".join(
+        f"tk[i+{j}] = '{t}'" if j else f"tk[i] = '{t}'"
+        for j, t in enumerate(terms))
+    hi = "len(tk)" if len(terms) == 2 else f"len(tk) - {len(terms) - 2}"
+    scored = f"""SELECT doc_id,
+             (CAST(sqrt(CAST(tf AS DOUBLE)) AS REAL) * {w}) * nrm AS sc
+      FROM (SELECT doc_id, nrm,
+                   len([i FOR i IN range(1, {hi}) IF {conds}]) AS tf
+            FROM cache)
+      WHERE tf > 0"""
+    return (_CLASSIC_PRELUDE.format(
+        ranges=_byte4_ranges(), chain="tk0",
+        src="SELECT doc_id, text FROM documents",
+    ) + ctes + _bm25_rank_tail(scored, k))
+
+
 def _elevation_sql(terms, elevate_ids, exclude_ids, k: int = 10) -> str:
     """QueryElevationComponent oracle: the BM25 disjunction's full
     match set, excluded ids dropped, elevated ids pinned first in
@@ -984,6 +1014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_disjunction_topk"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, similarity="classic").search(
             "spark OR merge OR vector", k=10)
+    )
+    q["tfidf_phrase_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, similarity="classic").search('"batch batch"', k=10)
     )
 
     # ---- facets (SURVEY.md §2.6)
@@ -2862,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_term_topk": _classic_sql_disjunction([("spark", 1.0)]),
         "tfidf_disjunction_topk": _classic_sql_disjunction(
             [("spark", 1.0), ("merge", 1.0), ("vector", 1.0)]),
+        "tfidf_phrase_topk": _classic_sql_phrase(["batch", "batch"]),
         "facet_field_lang": """
             SELECT lang, COUNT(*) AS cnt FROM documents
             GROUP BY lang HAVING COUNT(*) >= 1

@@ -441,6 +441,19 @@ def _classic_sql_disjunction(terms, k: int = 10) -> str:
     ) + ctes + _bm25_rank_tail(scored, k))
 
 
+def _boost_sql(term: str, m: float, a: float, b: float, k: int = 10) -> str:
+    """{!boost b=recip(doc_id,m,a,b)}term oracle: the float32 BM25 term
+    score times float32(recip) — recip computed in double, single cast,
+    then a REAL multiply (operators/select.py boost path)."""
+    prelude = _BM25_PRELUDE.format(
+        ranges=_byte4_ranges(), chain="tk0",
+        src="SELECT doc_id, text FROM documents")
+    ctes = _bm25_term_ctes(0, term, 1.0)
+    scored = (f"SELECT doc_id, sc * CAST({a!r} / ({m!r} * doc_id + {b!r})"
+              f" AS REAL) AS sc FROM s0")
+    return prelude + ctes + _bm25_rank_tail(scored, k)
+
+
 def _classic_sql_phrase(terms, k: int = 10, boost: float = 1.0) -> str:
     """ClassicSimilarity exact phrase: tf = ordered adjacent matches;
     weight = float32(boost * float32(sum_float64(per-term float32
@@ -1050,6 +1063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_prefix_index"] = lambda s, sf: sx.facet_field(
         _docs(s, sf), "lang", prefix="e", sort="index", missing=True
     )
+    q["facet_contains_exclude"] = lambda s, sf: sx.facet_field(
+        _docs(s, sf), "lang", contains="e", exclude_terms=["en"]
+    )
     q["stats_quantity"] = lambda s, sf: _t(s, sf, "lineitem").agg(
         F.min("l_quantity").alias("min_q"),
         F.max("l_quantity").alias("max_q"),
@@ -1260,6 +1276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 2 (strictly-past-cursor top-rows, never a start+rows-deep sort)
     # cross-joined with the lang facet digest over the match set
     q["solr_select_edismax"] = _solr_select_edismax
+    # {!boost b=func}q through the facade: relevance multiplied by the
+    # function value in float32 (FunctionScoreQuery)
+    q["solr_select_boost"] = lambda s, sf: sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": "{!boost b=recip(doc_id,0.001,1,1)}spark", "rows": 10},
+    ).docs.select(
+        F.col("position").cast("long").alias("rank"), "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r"))
     # q.op=AND: the classic parser's default operator turns implicit
     # adjacency into MUST clauses; scored identically to the explicit
     # conjunction (the oracle IS the conjunction oracle)
@@ -2551,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang HAVING COUNT(*) >= 1
             ORDER BY cnt DESC, lang LIMIT 100
         """,
+        "solr_select_boost": _boost_sql("spark", 0.001, 1.0, 1.0),
         "solr_select_qop_and": _bm25_sql_conjunction(
             [("spark", 1.0), ("merge", 1.0), ("join", 1.0)]),
         "solr_select_sortfunc": """
@@ -2911,6 +2936,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000.0, 2) AS bucket_start
             FROM orders WHERE o_totalprice >= 0
             GROUP BY 1 ORDER BY bucket
+        """,
+        "facet_contains_exclude": """
+            SELECT lang, COUNT(*) AS cnt FROM documents
+            WHERE lang IS NOT NULL AND lang LIKE '%e%' AND lang <> 'en'
+            GROUP BY lang HAVING COUNT(*) >= 1
+            ORDER BY cnt DESC, lang LIMIT 100
         """,
         "facet_prefix_index": """
             SELECT lang, cnt FROM (

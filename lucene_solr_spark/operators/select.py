@@ -101,6 +101,16 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     import json
 
     q = params["q"]
+    boost_fn = None
+    if isinstance(q, str) and q.startswith("{!boost"):
+        # {!boost b=func}query (`[U] solr/core/.../search/
+        # BoostQParserPlugin.java` -> FunctionScoreQuery): relevance
+        # multiplied by the function value, float32 like the engine's
+        # scorer; the MATCH SET is unchanged (facets/numFound agree)
+        from ..functions.funcparser import parse_local_params
+
+        _, lp, body = parse_local_params(q)
+        boost_fn, q = lp["b"], body
     fqs = params.get("fq", [])
     if isinstance(fqs, str):
         fqs = [fqs]
@@ -123,6 +133,21 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     else:
         matches = _match_set(idx, q, fqs,
                              default_op=str(params.get("q.op", "OR")))
+
+    if boost_fn is not None:
+        import re as _re
+
+        from ..functions.funcparser import parse_function_query
+
+        refs = [c for c in idx.docmeta.columns
+                if c != "doc_id" and _re.search(rf"\b{c}\b", boost_fn)]
+        if refs:
+            matches = matches.join(
+                idx.docmeta.select("doc_id", *refs), "doc_id", "left")
+        matches = matches.withColumn(
+            "score",
+            (F.col("score") * parse_function_query(boost_fn).cast("float"))
+            .cast("float")).select("doc_id", "score")
 
     parts = sort.split()
     sort_field, direction = parts[0], (parts[1] if len(parts) > 1 else "asc")

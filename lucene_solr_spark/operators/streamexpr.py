@@ -133,7 +133,9 @@ def reducer_stream(df: DataFrame, keys: Sequence[str], value: str,
 
 def facet_field(df: DataFrame, fld: str, limit: int = 100, mincount: int = 1,
                 offset: int = 0, prefix: Optional[str] = None,
-                sort: str = "count", missing: bool = False) -> DataFrame:
+                sort: str = "count", missing: bool = False,
+                contains: Optional[str] = None,
+                exclude_terms: Sequence[str] = ()) -> DataFrame:
     """`[U] solr/core/.../request/SimpleFacets.java` + `.../search/facet/
     FacetField.java` — term facet: counts desc, index-order tiebreak,
     limit/offset/mincount. Exact by construction (Spark's shuffle
@@ -149,6 +151,13 @@ def facet_field(df: DataFrame, fld: str, limit: int = 100, mincount: int = 1,
     vals = df.filter(F.col(fld).isNotNull())
     if prefix is not None:
         vals = vals.filter(F.col(fld).startswith(prefix))
+    if contains is not None:
+        # facet.contains: substring restriction on bucket values,
+        # applied before counting like facet.prefix
+        vals = vals.filter(F.col(fld).contains(contains))
+    if exclude_terms:
+        # facet.excludeTerms: named buckets dropped from the response
+        vals = vals.filter(~F.col(fld).isin(list(exclude_terms)))
     order = ([F.asc(fld)] if sort == "index"
              else [F.desc("cnt"), F.asc(fld)])
     out = (

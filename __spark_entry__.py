@@ -1655,11 +1655,15 @@ _WINDOW_ORDER = [
     # keyed updateDocument surface (code path changes this round)
     "update_bm25_topk", "update_termfreq",
     # never-graded standard-analyzer BM25 + multiterm family
-    # (bm25_mixed/range rotated out: conjunction + prefix/wildcard/
-    # fuzzy already represent both classes; replica-checked)
-    "bm25_conjunction_topk", "bm25_prefix_topk",
+    # (bm25_mixed/range/prefix rotated out: conjunction + wildcard +
+    # fuzzy represent the classes; prefix's constant-score shape is
+    # ALSO covered by leading_wildcard_topk below; replica-checked)
+    "bm25_conjunction_topk",
     "bm25_wildcard_topk", "bm25_fuzzy_topk",
     "bm25_min_should_match",
+    # round-4 NEW scoring/analyzer classes: pluggable ClassicSimilarity
+    # (TF-IDF float path) and the ReversedWildcardFilter prefix rewrite
+    "tfidf_term_topk", "leading_wildcard_topk",
     # round-4 NEW operator classes, never graded: position-bounded
     # spans, phonetic analyzer BM25, realtime /get, ExpandComponent,
     # stats percentiles, term-vectors reanalysis
@@ -1669,11 +1673,15 @@ _WINDOW_ORDER = [
     # complement / reducer rotated out as same-class duplicates of
     # pivot+range / intersect / rollup+group rows that stay)
     "facet_pivot_lang_source", "facet_range_totalprice",
-    "rank_stream_top20", "unique_stream_first_order",
-    "intersect_stream_cust",
+    # (unique/intersect rotated out — same tuple-stream class as
+    # rank_stream, which stays as the class representative)
+    "rank_stream_top20",
     "hash_join_orders_cust", "join_scored_max", "significant_terms_en",
     "collapse_best_order", "search_after_page",
-    "stats_distinct_users", "math_corr_regress", "group_top2_orders",
+    # (stats_distinct_users rotated out — same agg class as the
+    # r1-r3-green hll_user_count; wordbreak is a new component class)
+    "spellcheck_wordbreak", "urp_chain_digest",
+    "math_corr_regress", "group_top2_orders",
     # never-graded round-3 front doors + misc components (+ the new
     # full-lifecycle facade composition)
     "solr_select_edismax", "solr_select_facet", "streamexpr_text_rollup",

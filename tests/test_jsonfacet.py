@@ -186,3 +186,15 @@ def test_block_domain_switches(spark):
     })
     got = {(r["size"], r["cnt"]) for r in out["sizes"].collect()}
     assert got == {("big", 1), ("small", 1)}   # parents 1 and 2
+
+
+def test_facet_contains_exclude(spark):
+    from lucene_solr_spark.operators import streamexpr as sx
+    df = spark.createDataFrame(
+        [("en",), ("en",), ("es",), ("de",), ("fr",)], "f string")
+    rows = sx.facet_field(df, "f", contains="e").collect()
+    assert [(r["f"], r["cnt"]) for r in rows] == [
+        ("en", 2), ("de", 1), ("es", 1)]
+    rows = sx.facet_field(df, "f", contains="e",
+                          exclude_terms=["en"]).collect()
+    assert [(r["f"], r["cnt"]) for r in rows] == [("de", 1), ("es", 1)]

@@ -993,6 +993,55 @@ class IndexReader:
     def fetch(self, topk: DataFrame) -> DataFrame:
         return topk.join(self.docmeta.drop("seg"), "doc_id", "left")
 
+    def explain(self, query: str | Query, doc_id: int) -> dict:
+        """Lucene Explanation / Solr ``debugQuery=true``
+        (`[U] .../search/similarities/BM25Similarity.java :: explain`):
+        the per-term score breakdown for ONE document — df, idf,
+        weight, tf, decoded norm length, the norm-cache value, and the
+        leaf score, plus their float32 sum, which must equal the
+        engine's reported score bit-for-bit (pinned by test).
+
+        Driver-side arithmetic over two pushdown-pruned lookups (the
+        query terms' stats and the one doc's docmeta row) — explain is
+        a debugging surface, never a hot path."""
+        q = parse_query(query, analyzer=self.manifest.analyzer) \
+            if isinstance(query, str) else query
+        q = rewrite(self._expand(q))
+        weights, _ = self._weights(q)
+        row = self.docmeta.filter(F.col("doc_id") == doc_id) \
+            .select("norm_byte").collect()
+        if not row:
+            return {"doc_id": doc_id, "matched": False, "details": []}
+        norm_byte = int(row[0]["norm_byte"])
+        tf_of = {}
+        for (term, _b) in weights:
+            hit = self.termfreq(term).filter(
+                F.col("doc_id") == doc_id).collect()
+            tf_of[term] = int(hit[0]["tf"]) if hit else 0
+        details = []
+        total = np.float32(0.0)
+        # insertion order of _weights == clause walk order == the
+        # engine's float32 summation order — keep it (sorted() could
+        # flip the last bit of the sum)
+        for (term, boost), w in weights.items():
+            tf = tf_of.get(term, 0)
+            if tf == 0:
+                continue
+            leaf = self._score_fn(
+                w, np.array([tf]), np.array([norm_byte]), self.cache)[0]
+            total = np.float32(total + leaf)
+            details.append({
+                "term": term, "boost": boost,
+                "df": self.global_dfs([term]).get(term, 0),
+                "weight": float(w), "tf": tf,
+                "norm_byte": norm_byte,
+                "norm_cache": float(self.cache[norm_byte]),
+                "score": float(leaf),
+            })
+        return {"doc_id": doc_id, "matched": bool(details),
+                "similarity": self.similarity,
+                "score": float(total), "details": details}
+
     # -- function-query index sources (SURVEY.md §2.10: termfreq/docfreq/
     # idf/norm `[U] .../valuesource/TermFreqValueSource.java` etc.)
     def termfreq(self, term: str) -> DataFrame:

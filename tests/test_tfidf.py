@@ -108,3 +108,21 @@ def test_classic_phrase_weight_kernel():
 def test_bad_similarity_rejected(classic_idx, spark):
     with pytest.raises(ValueError):
         IndexReader(spark, classic_idx.index_dir, similarity="dfr")
+
+
+def test_explain_matches_engine_score(classic_idx, spark):
+    """Explanation leaf sum must equal the reported score bit-for-bit,
+    for BOTH similarities (debugQuery=true)."""
+    for sim in ("bm25", "classic"):
+        from lucene_solr_spark.operators.search import IndexReader
+        idx = IndexReader(spark, classic_idx.index_dir, similarity=sim)
+        top = idx.search("spark OR merge", k=3).collect()
+        for r in top:
+            exp = idx.explain("spark OR merge", r["doc_id"])
+            assert exp["matched"] and exp["similarity"] == sim
+            assert np.float32(exp["score"]) == np.float32(r["score"]), \
+                (sim, r["doc_id"], exp)
+            assert all(d["tf"] > 0 for d in exp["details"])
+    # non-matching / absent doc
+    exp = classic_idx.explain("spark", 999999)
+    assert exp["matched"] is False

@@ -334,3 +334,23 @@ def test_word_delimiter_index_search(spark, tmp_path):
     assert {doc for doc, _ in idx.search_with_total("jpg", k=10)[0]} == {0, 1}
     assert {doc for doc, _ in
             idx.search_with_total("powershot", k=10)[0]} == set()
+
+
+def test_reversed_emitter_properties():
+    from hypothesis import given, strategies as st
+
+    from lucene_solr_spark.analysis import REVERSE_MARKER, analyze, tokenize
+
+    @given(st.text(alphabet="abc xyz_019", max_size=60))
+    def check(text):
+        pairs = analyze(text, "reversed_wildcard")
+        base = [(t, p) for t, p in pairs if not t.startswith(REVERSE_MARKER)]
+        marked = [(t, p) for t, p in pairs if t.startswith(REVERSE_MARKER)]
+        # one marked twin per original, same position, exact reverse
+        assert len(base) == len(marked)
+        for (t, p), (m, mp) in zip(base, marked):
+            assert mp == p and m == REVERSE_MARKER + t[::-1]
+        # the base stream equals the standard analysis of the text
+        assert [t for t, _ in base] == tokenize(text, "standard")
+
+    check()

@@ -55,3 +55,31 @@ def test_monotonic_and_vectorized(vals):
 def test_length_table_increasing():
     assert len(LENGTH_TABLE) == 256
     assert np.all(np.diff(LENGTH_TABLE) > 0)
+
+
+def test_classic_norm_table_properties():
+    import numpy as np
+    from hypothesis import given, strategies as st
+
+    from lucene_solr_spark.functions.smallfloat import (LENGTH_TABLE,
+                                                        int_to_byte4)
+    from lucene_solr_spark.functions.tfidf import (classic_norm_table,
+                                                   classic_score_tf)
+
+    tbl = classic_norm_table()
+    assert tbl[0] == 0.0
+    # longer decoded length -> smaller-or-equal norm (1/sqrt monotone)
+    assert all(tbl[i] >= tbl[i + 1] for i in range(1, 255))
+
+    @given(st.integers(min_value=1, max_value=1 << 30),
+           st.integers(min_value=1, max_value=1000))
+    def check(dl, tf):
+        b = int_to_byte4(dl)
+        exact = np.float32(
+            np.float32(np.sqrt(float(tf))) * np.float32(2.0)
+        ) * np.float32(1.0 / np.sqrt(float(LENGTH_TABLE[b])))
+        got = classic_score_tf(np.float32(2.0), np.array([tf]),
+                               np.array([b]), tbl)[0]
+        assert got == np.float32(exact)
+
+    check()

@@ -65,6 +65,39 @@ class SelectResponse:
     def num_found(self) -> int:
         return self.matches.count()
 
+    def response(self, start: int = 0) -> Dict:
+        """Solr wire-format response body (`[U] solr/core/.../response/
+        JSONResponseWriter.java` shape): responseHeader + response
+        {numFound, start, docs} + optional facet_counts / highlighting
+        / spellcheck sections. The page is tiny by construction, so the
+        collect here is the same driver cost Solr pays serializing."""
+        body = {
+            "responseHeader": {"status": 0},
+            "response": {
+                "numFound": self.num_found(),
+                "start": start,
+                "docs": [r.asDict() for r in self.docs.collect()],
+            },
+        }
+        if self.facets:
+            body["facet_counts"] = {
+                "facet_fields": {
+                    f: [x for r in frame.collect()
+                        for x in (r[0], r["cnt"])]
+                    for f, frame in self.facets.items()
+                }
+            }
+        if self.highlighting is not None:
+            body["highlighting"] = {
+                r["doc_id"]: r["snippets"] for r in self.highlighting.collect()
+            }
+        if self.spellcheck is not None:
+            body["spellcheck"] = {"suggestions": [
+                r.asDict() for r in self.spellcheck.collect()]}
+        if self.next_cursor_mark is not None:
+            body["nextCursorMark"] = self.next_cursor_mark
+        return body
+
 
 def _fq_ids(idx, fq: str) -> DataFrame:
     """One filter query -> doc_id set. ``field:value`` against a STORED

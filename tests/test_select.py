@@ -231,3 +231,19 @@ def test_sort_by_function_query(idx):
     exp = sorted(all_ids, key=lambda i: (abs(i - 50), i))[:5]
     assert ids == exp
     assert [r["position"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_response_wire_format(idx):
+    from lucene_solr_spark.operators.select import solr_select
+
+    resp = solr_select(idx, {"q": "spark", "rows": 3, "fl": ["doc_id", "lang"],
+                             "facet.field": "lang"})
+    body = resp.response()
+    assert body["responseHeader"]["status"] == 0
+    assert body["response"]["numFound"] == resp.num_found()
+    assert len(body["response"]["docs"]) == 3
+    assert all("doc_id" in d and "position" in d for d in body["response"]["docs"])
+    ff = body["facet_counts"]["facet_fields"]["lang"]
+    assert len(ff) % 2 == 0 and isinstance(ff[1], int)   # flat [val, cnt, ...]
+    import json
+    json.dumps(body)   # the body must be JSON-serializable end-to-end

@@ -546,6 +546,35 @@ def block_join_query(text: str, parent: DataFrame, child: DataFrame,
     raise ValueError(f"unsupported block-join local-params {qtype!r}")
 
 
+def child_transformer(parents: DataFrame, children: DataFrame,
+                      parent_key: str, child_key: str,
+                      child_fl: Sequence[str], limit: int = 10,
+                      order: Optional[Column] = None) -> DataFrame:
+    """Solr ``fl=*,[child limit=N]`` doc transformer (`[U] solr/core/
+    .../response/transform/ChildDocTransformerFactory.java`): each
+    returned parent carries an array of its first ``limit`` child docs
+    (selected fields only). Spark shape: rank children per parent with
+    a window, aggregate the capped set to an array of structs, LEFT
+    join onto parents — children never fan the parent rows out."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(child_key).orderBy(
+        order if order is not None else F.asc(child_fl[0]))
+    capped = (
+        children.select(child_key, *child_fl)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+    )
+    packed = (
+        capped.groupBy(child_key)
+        .agg(F.sort_array(F.collect_list(
+            F.struct(F.col("__rn").alias("_rank"), *child_fl))).alias("_docs"))
+        .select(F.col(child_key).alias(parent_key),
+                F.col("_docs").alias("child_docs"))
+    )
+    return parents.join(packed, parent_key, "left")
+
+
 def stats_distinct(df: DataFrame, fld: str, approx: bool = False) -> DataFrame:
     """`[U] solr/core/.../search/facet/HLLAgg.java` / ``unique`` agg:
     cardinality of a field. ``approx=True`` uses HyperLogLog++

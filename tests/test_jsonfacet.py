@@ -198,3 +198,21 @@ def test_facet_contains_exclude(spark):
     rows = sx.facet_field(df, "f", contains="e",
                           exclude_terms=["en"]).collect()
     assert [(r["f"], r["cnt"]) for r in rows] == [("de", 1), ("es", 1)]
+
+
+def test_child_transformer(spark):
+    from lucene_solr_spark.operators import streamexpr as sx
+    parents = spark.createDataFrame([(1, "p1"), (2, "p2"), (3, "p3")],
+                                    "pid long, name string")
+    children = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (1, "c", 30), (2, "d", 5)],
+        "pid long, tag string, v long")
+    out = sx.child_transformer(parents, children, "pid", "pid",
+                               ["tag", "v"], limit=2,
+                               order=F.desc("v")).collect()
+    rows = {r["pid"]: r for r in out}
+    # parent 1: top-2 children by v desc, packed in rank order
+    kids = [(d["tag"], d["v"]) for d in rows[1]["child_docs"]]
+    assert kids == [("c", 30), ("b", 20)]
+    assert [(d["tag"], d["v"]) for d in rows[2]["child_docs"]] == [("d", 5)]
+    assert rows[3]["child_docs"] is None          # childless parent intact

@@ -3337,6 +3337,78 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
         """,
         **_ann_oracle_sqls(),
+        **_mm_oracle_sqls(),
+    }
+
+
+def _mm_oracle_sqls() -> dict:
+    """Oracles for the multimodal plumbing family (rows-only until r4).
+
+    ``synth_media`` is deterministic (numpy RandomState seed), so the
+    expected rows are generated driver-side by the SAME per-payload
+    kernels the engine's mapInPandas closures call
+    (``multimodal.image_meta_of`` / ``thumb_of`` / ``frames_of`` /
+    ``audio_feats_of``) over the SAME ``synth_rows`` payloads, and
+    emitted as literal VALUES — the share-the-kernel pattern the
+    k-means digest and IVF probe-set oracles use. The oracle is an
+    independent check of the DISTRIBUTED execution (mapInPandas batch
+    iteration, Arrow binary transfer, schema), not of the arithmetic.
+    """
+    def img_meta(codec: str) -> str:
+        vals = []
+        for r in mm.synth_rows(64, codec=codec):
+            if r[1] != "image":
+                continue
+            meta = mm.image_meta_of(bytes(r[6]))
+            if meta is not None:
+                vals.append(f"({r[0]}, {meta[0]}, {meta[1]}, {meta[2]!r})")
+        return (
+            "SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, CAST(m AS DOUBLE) AS mean_px "
+            f"FROM (VALUES {', '.join(vals)}) t(i, w, h, m)"
+        )
+
+    def aud_feats(codec: str) -> str:
+        vals = []
+        for r in mm.synth_rows(64, codec=codec):
+            if r[1] != "audio":
+                continue
+            f = mm.audio_feats_of(bytes(r[6]))
+            if f is not None:
+                vals.append(f"({r[0]}, {f[0]}, {f[1]}, {f[2]!r}, {f[3]!r})")
+        return (
+            "SELECT CAST(i AS BIGINT) AS media_id, CAST(d AS INTEGER) AS dur_ms, "
+            "CAST(p AS INTEGER) AS peak, CAST(r AS DOUBLE) AS rms, "
+            "CAST(z AS DOUBLE) AS zcr "
+            f"FROM (VALUES {', '.join(vals)}) t(i, d, p, r, z)"
+        )
+
+    rs_vals, fr_vals = [], []
+    for r in mm.synth_rows(64):
+        payload = bytes(r[6])
+        if r[1] == "image":
+            thumb = mm.thumb_of(payload, 8, 8)
+            if thumb is not None:
+                rs_vals.append(f"({r[0]}, 8, 8, {len(thumb)})")
+        else:
+            for t_ms, rms in mm.frames_of(payload, 100) or []:
+                fr_vals.append(f"({r[0]}, {t_ms}, {rms!r})")
+
+    return {
+        "mm_image_meta": img_meta("fake"),
+        "mm_real_bmp_meta": img_meta("bmp_wav"),
+        "mm_audio_features": aud_feats("fake"),
+        "mm_real_wav_features": aud_feats("bmp_wav"),
+        "mm_image_resize": (
+            "SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS INTEGER) AS out_w, "
+            "CAST(h AS INTEGER) AS out_h, CAST(b AS INTEGER) AS thumb_bytes "
+            f"FROM (VALUES {', '.join(rs_vals)}) t(i, w, h, b)"
+        ),
+        "mm_frame_sample": (
+            "SELECT CAST(i AS BIGINT) AS media_id, CAST(t AS INTEGER) AS t_ms, "
+            "CAST(r AS DOUBLE) AS rms "
+            f"FROM (VALUES {', '.join(fr_vals)}) t(i, t, r)"
+        ),
     }
 
 

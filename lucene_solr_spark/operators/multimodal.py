@@ -40,7 +40,8 @@ from pyspark.sql.types import (
 
 __all__ = [
     "MEDIA_SCHEMA",
-    "synth_media",
+    "synth_media", "synth_rows",
+    "image_meta_of", "thumb_of", "frames_of", "audio_feats_of",
     "encode_bmp_gray", "decode_bmp_gray",
     "encode_wav_pcm16", "decode_wav_pcm16",
     "extract_image_meta",
@@ -153,14 +154,13 @@ def _decode_audio(buf: bytes):
     return decode_wav_pcm16(buf)
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 5,
-                codec: str = "fake") -> DataFrame:
-    """Deterministic synthetic media table matching MEDIA_SCHEMA.
+def synth_rows(n: int = 64, seed: int = 5, codec: str = "fake") -> list:
+    """Deterministic synthetic media rows (pure numpy, no Spark).
 
-    ``codec="fake"``: magic-header payloads (fastest plumbing tests).
-    ``codec="bmp_wav"``: REAL standard 24-bit BMP images and PCM16 WAV
-    audio — the decode kernels parse these with struct+numpy alone, so
-    the uncompressed-codec path is fully exercised end-to-end.
+    Shared by ``synth_media`` (the Spark table) and the driver-side
+    oracle replay (`__spark_entry__` emits literal expected rows from
+    the SAME rows + per-payload kernels — the engine/oracle
+    share-the-kernel invariant, same pattern as the k-means digest).
     """
     rng = np.random.RandomState(seed)
     rows = []
@@ -187,7 +187,76 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 5,
                 payload = _AUD_MAGIC + struct.pack("<II", ns, rate) + samples.tobytes()
                 fmt = "fake-aud"
             rows.append((i, "audio", fmt, 0, 0, int(ns * 1000 / rate), bytearray(payload)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark: SparkSession, n: int = 64, seed: int = 5,
+                codec: str = "fake") -> DataFrame:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA.
+
+    ``codec="fake"``: magic-header payloads (fastest plumbing tests).
+    ``codec="bmp_wav"``: REAL standard 24-bit BMP images and PCM16 WAV
+    audio — the decode kernels parse these with struct+numpy alone, so
+    the uncompressed-codec path is fully exercised end-to-end.
+    """
+    return spark.createDataFrame(synth_rows(n, seed, codec), MEDIA_SCHEMA)
+
+
+# --------------------------------------------------- per-payload kernels
+#
+# One pure function per media kernel, shared by the distributed
+# mapInPandas closures AND the driver-side oracle replay — the oracle
+# literals are generated BY these functions, never hand-written.
+
+
+def image_meta_of(payload: bytes):
+    """payload -> (width, height, mean_px rounded 4) or None."""
+    px = _decode_image(payload)
+    if px is None:
+        return None
+    h, w = px.shape
+    return w, h, round(float(px.mean()), 4)
+
+
+def thumb_of(payload: bytes, out_w: int, out_h: int):
+    """payload -> nearest-neighbour (out_h, out_w) thumb bytes or None."""
+    px = _decode_image(payload)
+    if px is None:
+        return None
+    h, w = px.shape
+    yi = np.arange(out_h) * h // out_h
+    xi = np.arange(out_w) * w // out_w
+    return px[np.ix_(yi, xi)].tobytes()
+
+
+def frames_of(payload: bytes, every_ms: int):
+    """payload -> [(t_ms, rms rounded 4)] per window, or None."""
+    dec = _decode_audio(payload)
+    if dec is None:
+        return None
+    samples, rate = dec
+    samples = samples.astype(np.float64)
+    win = max(1, rate * every_ms // 1000)
+    out = []
+    for f, start in enumerate(range(0, len(samples), win)):
+        chunk = samples[start:start + win]
+        out.append((f * every_ms, round(float(np.sqrt((chunk ** 2).mean())), 4)))
+    return out
+
+
+def audio_feats_of(payload: bytes):
+    """payload -> (dur_ms, peak, rms rounded 4, zcr rounded 6) or None."""
+    dec = _decode_audio(payload)
+    if dec is None:
+        return None
+    s, rate = dec
+    s = s.astype(np.float64)
+    return (
+        int(len(s) * 1000 / rate),
+        int(np.abs(s).max()) if s.size else 0,
+        round(float(np.sqrt((s ** 2).mean())), 4) if s.size else 0.0,
+        round(float((np.diff(np.signbit(s)) != 0).mean()), 6) if s.size > 1 else 0.0,
+    )
 
 
 def _require_real_decoder(decoder: str) -> None:
@@ -217,14 +286,13 @@ def extract_image_meta(df: DataFrame, decoder: str = "fake") -> DataFrame:
         for pdf in it:
             ids, ws, hs, means = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = _decode_image(bytes(payload))
-                if px is None:
+                m = image_meta_of(bytes(payload))
+                if m is None:
                     continue
-                h, w = px.shape
                 ids.append(mid)
-                ws.append(w)
-                hs.append(h)
-                means.append(round(float(px.mean()), 4))
+                ws.append(m[0])
+                hs.append(m[1])
+                means.append(m[2])
             yield pd.DataFrame({
                 "media_id": ids, "width": ws, "height": hs, "mean_px": means,
             })
@@ -246,15 +314,11 @@ def decode_and_resize(df: DataFrame, out_w: int = 8, out_h: int = 8,
         for pdf in it:
             ids, thumbs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = _decode_image(bytes(payload))
-                if px is None:
+                thumb = thumb_of(bytes(payload), out_w, out_h)
+                if thumb is None:
                     continue
-                h, w = px.shape
-                yi = (np.arange(out_h) * h // out_h)
-                xi = (np.arange(out_w) * w // out_w)
-                thumb = px[np.ix_(yi, xi)]
                 ids.append(mid)
-                thumbs.append(bytearray(thumb.tobytes()))
+                thumbs.append(bytearray(thumb))
             yield pd.DataFrame({
                 "media_id": ids,
                 "out_w": np.full(len(ids), out_w, dtype=np.int32),
@@ -280,17 +344,13 @@ def sample_frames(df: DataFrame, every_ms: int = 100,
         for pdf in it:
             ids, ts, rms = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dec = _decode_audio(bytes(payload))
-                if dec is None:
+                frames = frames_of(bytes(payload), every_ms)
+                if frames is None:
                     continue
-                samples, rate = dec
-                samples = samples.astype(np.float64)
-                win = max(1, rate * every_ms // 1000)
-                for f, start in enumerate(range(0, len(samples), win)):
-                    chunk = samples[start:start + win]
+                for t_ms, r in frames:
                     ids.append(mid)
-                    ts.append(f * every_ms)
-                    rms.append(round(float(np.sqrt((chunk ** 2).mean())), 4))
+                    ts.append(t_ms)
+                    rms.append(r)
             yield pd.DataFrame({"media_id": ids, "t_ms": ts, "rms": rms})
 
     return (
@@ -308,16 +368,14 @@ def audio_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
         for pdf in it:
             out: dict[str, List] = {"media_id": [], "dur_ms": [], "peak": [], "rms": [], "zcr": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dec = _decode_audio(bytes(payload))
-                if dec is None:
+                feats = audio_feats_of(bytes(payload))
+                if feats is None:
                     continue
-                s, rate = dec
-                s = s.astype(np.float64)
                 out["media_id"].append(mid)
-                out["dur_ms"].append(int(len(s) * 1000 / rate))
-                out["peak"].append(int(np.abs(s).max()) if s.size else 0)
-                out["rms"].append(round(float(np.sqrt((s ** 2).mean())), 4) if s.size else 0.0)
-                out["zcr"].append(round(float((np.diff(np.signbit(s)) != 0).mean()), 6) if s.size > 1 else 0.0)
+                out["dur_ms"].append(feats[0])
+                out["peak"].append(feats[1])
+                out["rms"].append(feats[2])
+                out["zcr"].append(feats[3])
             yield pd.DataFrame(out)
 
     return (

@@ -3338,7 +3338,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_ann_oracle_sqls(),
         **_mm_oracle_sqls(),
+        "text_fingerprint": _fingerprint_oracle_sql(),
     }
+
+
+def _fingerprint_oracle_sql() -> str:
+    """Literal-row oracle for the raw winnowing fingerprint stream (the
+    last rows-only entry): the SHARED one-batch kernel
+    (``textproc.fingerprint_pdf`` — the exact function the distributed
+    mapInPandas path calls per Arrow batch) is replayed driver-side over
+    the ``_ORACLE_SF`` documents table as one batch; per-doc output is
+    batch-independent, so the replay independently checks the
+    DISTRIBUTED execution (batching, Arrow transfer, schema)."""
+    import pandas as _pd
+    pdf = _pd.read_parquet(f"{_ORACLE_SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = tp.fingerprint_pdf(pdf)
+    vals = ", ".join(
+        f"({int(i)}, {int(d)}, {len(fp)})"
+        for i, d, fp in zip(out["id"], out["digest"], out["fingerprints"])
+    )
+    return (
+        "SELECT CAST(i AS BIGINT) AS id, CAST(d AS BIGINT) AS digest, "
+        "CAST(n AS INTEGER) AS n_fp "
+        f"FROM (VALUES {vals}) t(i, d, n)"
+    )
 
 
 def _mm_oracle_sqls() -> dict:

@@ -720,6 +720,105 @@ def _fingerprint_scalar(text: str, k: int = 8, window: int = 4):
     return fp, (dig - (1 << 64) if dig >= (1 << 63) else dig)
 
 
+def fingerprint_pdf(pdf: pd.DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    window: int = 4) -> pd.DataFrame:
+    """One-batch winnowing kernel (pure pandas/numpy) -> (id,
+    fingerprints array capped at 64, int64 digest) per input row.
+
+    SHARED by the distributed ``doc_fingerprint`` mapInPandas path
+    and the driver-side oracle replay in ``__spark_entry__`` (the
+    ``text_fingerprint`` literal-row oracle) — per-doc output is
+    batch-independent (doc-boundary masking), so replaying the whole
+    table as ONE batch reproduces every distributed batching exactly.
+    """
+    powers = _fp_powers(k)
+    n_docs = len(pdf)
+    out_fps: list = [[] for _ in range(n_docs)]
+    out_dig = np.zeros(n_docs, dtype=np.int64)
+    ids = pdf[id_col].to_numpy()
+    if n_docs == 0:
+        return pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                            "digest": out_dig})
+    # [\W_] removal == keep str.isalnum() chars (re \w is
+    # defined as isalnum + underscore), one C-level sweep
+    norm = (pdf[text_col].astype(str).str.lower()
+            .str.replace(r"[\W_]+", "", regex=True))
+    enc = norm.str.encode("utf-8")
+    blens = enc.str.len().to_numpy().astype(np.int64)
+    nchar = norm.str.len().to_numpy().astype(np.int64)
+    if (blens == nchar).all():
+        buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
+        lens = blens
+    else:
+        # rare multibyte rows: reproduce the scalar byte
+        # truncation data[:len(s)] (O(docs) slicing, not per char)
+        parts = [b[:t] for b, t in zip(enc.tolist(), nchar)]
+        buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        lens = np.minimum(blens, nchar)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    total = int(lens.sum())
+    m = total - k + 1
+    if m <= 0:
+        return pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                            "digest": out_dig})
+    with np.errstate(over="ignore"):
+        win = np.lib.stride_tricks.sliding_window_view(
+            buf.astype(np.uint64), k)
+        h_all = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    valid = doc_idx[:m] == doc_idx[k - 1:]
+    if not valid.any():
+        return pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                            "digest": out_dig})
+    h = h_all[valid]  # uint64: minima taken in UNSIGNED order
+    kdoc = doc_idx[:m][valid]
+    starts = np.flatnonzero(np.r_[True, np.diff(kdoc) != 0])
+    counts = np.diff(np.r_[starts, len(kdoc)])
+    docs_of = kdoc[starts]
+    # winnowing minima: docs with n > window take sliding-window
+    # minima; docs with n <= window take the segment minimum
+    pair_docs: list = []
+    pair_vals: list = []
+    m2 = len(h) - window + 1
+    big = counts > window  # sliding covers n > window only
+    if m2 > 0 and big.any():
+        sw_min = np.lib.stride_tricks.sliding_window_view(
+            h, window).min(axis=1)
+        wmask = kdoc[:m2] == kdoc[window - 1:]
+        isbig = np.zeros(n_docs, dtype=bool)
+        isbig[docs_of[big]] = True
+        sel = wmask & isbig[kdoc[:m2]]
+        pair_docs.append(kdoc[:m2][sel])
+        pair_vals.append(sw_min[sel].astype(np.int64))
+    small = counts <= window
+    if small.any():
+        seg_min = np.minimum.reduceat(h, starts)
+        pair_docs.append(docs_of[small])
+        pair_vals.append(seg_min[small].astype(np.int64))
+    pd_all = np.concatenate(pair_docs)
+    pv_all = np.concatenate(pair_vals)  # signed: fp sort order
+    order = np.lexsort((pv_all, pd_all))
+    pd_s, pv_s = pd_all[order], pv_all[order]
+    uniq = np.r_[True, (np.diff(pd_s) != 0) | (np.diff(pv_s) != 0)]
+    pd_u, pv_u = pd_s[uniq], pv_s[uniq]
+    fstarts = np.flatnonzero(np.r_[True, np.diff(pd_u) != 0])
+    fcounts = np.diff(np.r_[fstarts, len(pd_u)])
+    fdocs = pd_u[fstarts]
+    # digests: FNV position sweep across all docs at once
+    with np.errstate(over="ignore"):
+        dig = np.full(len(fdocs), _FNV_OFFSET, dtype=np.uint64)
+        pv_un = pv_u.astype(np.uint64)
+        for p in range(int(fcounts.max())):
+            alive = fcounts > p
+            dig[alive] = (dig[alive] ^ pv_un[fstarts[alive] + p]) * _FNV_PRIME
+    out_dig[fdocs] = dig.astype(np.int64)
+    bounds = np.r_[fstarts, len(pd_u)]
+    for i, d in enumerate(fdocs):
+        out_fps[int(d)] = pv_u[bounds[i]:min(bounds[i] + 64, bounds[i + 1])].tolist()
+    return pd.DataFrame({"id": ids, "fingerprints": out_fps,
+                        "digest": out_dig})
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 8, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): rolling
@@ -732,97 +831,11 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     masking (the _fnv64_batch / minhash shingle pattern), sliding-window
     Rabin hashes and winnowing minima as numpy array ops, digests via a
     position-sweep FNV across every doc at once."""
-    powers = _fp_powers(k)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_docs = len(pdf)
-            out_fps: list = [[] for _ in range(n_docs)]
-            out_dig = np.zeros(n_docs, dtype=np.int64)
-            ids = pdf[id_col].to_numpy()
-            if n_docs == 0:
-                yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
-                                    "digest": out_dig})
-                continue
-            # [\W_] removal == keep str.isalnum() chars (re \w is
-            # defined as isalnum + underscore), one C-level sweep
-            norm = (pdf[text_col].astype(str).str.lower()
-                    .str.replace(r"[\W_]+", "", regex=True))
-            enc = norm.str.encode("utf-8")
-            blens = enc.str.len().to_numpy().astype(np.int64)
-            nchar = norm.str.len().to_numpy().astype(np.int64)
-            if (blens == nchar).all():
-                buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
-                lens = blens
-            else:
-                # rare multibyte rows: reproduce the scalar byte
-                # truncation data[:len(s)] (O(docs) slicing, not per char)
-                parts = [b[:t] for b, t in zip(enc.tolist(), nchar)]
-                buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
-                lens = np.minimum(blens, nchar)
-            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            total = int(lens.sum())
-            m = total - k + 1
-            if m <= 0:
-                yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
-                                    "digest": out_dig})
-                continue
-            with np.errstate(over="ignore"):
-                win = np.lib.stride_tricks.sliding_window_view(
-                    buf.astype(np.uint64), k)
-                h_all = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
-            valid = doc_idx[:m] == doc_idx[k - 1:]
-            if not valid.any():
-                yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
-                                    "digest": out_dig})
-                continue
-            h = h_all[valid]  # uint64: minima taken in UNSIGNED order
-            kdoc = doc_idx[:m][valid]
-            starts = np.flatnonzero(np.r_[True, np.diff(kdoc) != 0])
-            counts = np.diff(np.r_[starts, len(kdoc)])
-            docs_of = kdoc[starts]
-            # winnowing minima: docs with n > window take sliding-window
-            # minima; docs with n <= window take the segment minimum
-            pair_docs: list = []
-            pair_vals: list = []
-            m2 = len(h) - window + 1
-            big = counts > window  # sliding covers n > window only
-            if m2 > 0 and big.any():
-                sw_min = np.lib.stride_tricks.sliding_window_view(
-                    h, window).min(axis=1)
-                wmask = kdoc[:m2] == kdoc[window - 1:]
-                isbig = np.zeros(n_docs, dtype=bool)
-                isbig[docs_of[big]] = True
-                sel = wmask & isbig[kdoc[:m2]]
-                pair_docs.append(kdoc[:m2][sel])
-                pair_vals.append(sw_min[sel].astype(np.int64))
-            small = counts <= window
-            if small.any():
-                seg_min = np.minimum.reduceat(h, starts)
-                pair_docs.append(docs_of[small])
-                pair_vals.append(seg_min[small].astype(np.int64))
-            pd_all = np.concatenate(pair_docs)
-            pv_all = np.concatenate(pair_vals)  # signed: fp sort order
-            order = np.lexsort((pv_all, pd_all))
-            pd_s, pv_s = pd_all[order], pv_all[order]
-            uniq = np.r_[True, (np.diff(pd_s) != 0) | (np.diff(pv_s) != 0)]
-            pd_u, pv_u = pd_s[uniq], pv_s[uniq]
-            fstarts = np.flatnonzero(np.r_[True, np.diff(pd_u) != 0])
-            fcounts = np.diff(np.r_[fstarts, len(pd_u)])
-            fdocs = pd_u[fstarts]
-            # digests: FNV position sweep across all docs at once
-            with np.errstate(over="ignore"):
-                dig = np.full(len(fdocs), _FNV_OFFSET, dtype=np.uint64)
-                pv_un = pv_u.astype(np.uint64)
-                for p in range(int(fcounts.max())):
-                    alive = fcounts > p
-                    dig[alive] = (dig[alive] ^ pv_un[fstarts[alive] + p]) * _FNV_PRIME
-            out_dig[fdocs] = dig.astype(np.int64)
-            bounds = np.r_[fstarts, len(pd_u)]
-            for i, d in enumerate(fdocs):
-                out_fps[int(d)] = pv_u[bounds[i]:min(bounds[i] + 64, bounds[i + 1])].tolist()
-            yield pd.DataFrame({"id": ids, "fingerprints": out_fps,
-                                "digest": out_dig})
+            yield fingerprint_pdf(pdf, text_col=text_col, id_col=id_col,
+                                  k=k, window=window)
 
     return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="id long, fingerprints array<long>, digest long"

@@ -6,6 +6,17 @@ compares row count + order-insensitive values (columns sorted by name,
 rows sorted). Use before committing new entries:
 
     python tools/driver_check.py [sf_dir] [name_filter]
+    python tools/driver_check.py --schema-only   # fast pre-commit audit
+
+Faithful-canonicalizer contract (VERDICT r4 what's-missing #2): the
+real driver hashes pandas frames WITHOUT coercing ``Decimal`` to float
+or ``list`` to tuple — decimal-typed output columns hash-diverge in
+its environment and array-typed ones crash its ``sort_values``
+canonicalization (CORRECTNESS_r04: 4 hash-reds, 1 err, all
+decimal/array-typed; bit-identical values in-sandbox). This replica
+therefore REFUSES any entry whose output schema contains a
+decimal/array/map/struct column instead of leniently coercing it —
+replica-red must imply would-be-driver-red.
 """
 
 from __future__ import annotations
@@ -21,22 +32,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType, DecimalType, MapType, StructType)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+#: output-column types the grading driver cannot canonicalize (decimal
+#: hash-diverges; array/map/struct crash pandas sort_values)
+_HAZARD_TYPES = (DecimalType, ArrayType, MapType, StructType)
+
+
+def schema_hazards(schema) -> list:
+    """Columns of a Spark schema the driver's canonicalizer rejects."""
+    return [f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields
+            if isinstance(f.dataType, _HAZARD_TYPES)]
+
 
 def _norm(v):
-    if isinstance(v, Decimal):
-        return float(v)
+    # NO Decimal->float or list->tuple leniency: the real driver does
+    # neither. Reaching here with one means the schema audit was
+    # bypassed — fail loudly.
+    if isinstance(v, (Decimal, list, tuple, dict)):
+        raise TypeError(
+            f"driver-incompatible value type {type(v).__name__}: {v!r} "
+            "(decimal/array/map/struct output columns hash-diverge or "
+            "crash the grading driver; emit bigint cents / ROUND-double "
+            "/ concat_ws strings instead)")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -44,7 +72,39 @@ def _rows(rows):
     return sorted(tuple(_norm(v) for v in r) for r in rows)
 
 
+def schema_only():
+    """Fast pre-commit audit: build every entry's DataFrame (no
+    execution) and print any driver-incompatible output column."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("driver-check-schema")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    bad = 0
+    for name, fn in e.queries().items():
+        try:
+            hz = schema_hazards(fn(spark, sf_dir).schema)
+        except Exception as ex:
+            print(f"ERR   {name}: plan build raised {type(ex).__name__}: {ex}")
+            bad += 1
+            continue
+        if hz:
+            print(f"FAIL  {name}: driver-incompatible columns {hz}")
+            bad += 1
+    print(f"\nschema audit: {bad} entries with driver-incompatible schemas")
+    return 1 if bad else 0
+
+
 def main():
+    if "--schema-only" in sys.argv:
+        return schema_only()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     # the data-dependent ANN oracles are generated for this sf (the
@@ -88,6 +148,11 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            hz = schema_hazards(sdf.schema)
+            if hz:
+                print(f"FAIL  {name}: driver-incompatible columns {hz}")
+                n_fail += 1
+                continue
             # driver compares columns sorted by name
             scols = sorted(sdf.columns)
             srows = _rows((tuple(r[c] for c in scols) for r in sdf.collect()))

@@ -43,7 +43,7 @@ from lucene_solr_spark.analysis import tokenize as _tokenize
 from lucene_solr_spark.sources import load_documents, load_source_table
 
 WORK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".work")
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4  # v4: discountOverlaps norms (stacking analyzers)
 _INDEX_CACHE: dict[tuple, IndexReader] = {}
 
 
@@ -192,20 +192,25 @@ def _byte4_ranges() -> str:
     return ",".join(rows)
 
 
+#: ``{dl}`` is the per-doc NORM length expression (discountOverlaps:
+#: stacking chains pass ``len(tk0)`` — posIncr-0 twins excluded — while
+#: plain chains use ``len(tk)``); ``sum_dl`` deliberately keeps the
+#: emitted-token total (sumTotalTermFreq), matching Lucene's
+#: avgFieldLength asymmetry (see analysis.field_length).
 _BM25_PRELUDE = """
     WITH raw AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
                          t -> t != '') AS tk0
       FROM ({src})),
-    toks AS (SELECT doc_id, {chain} AS tk FROM raw),
+    toks AS (SELECT doc_id, {chain} AS tk, {dl} AS dl FROM raw),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS sum_dl FROM toks),
     nq(lo, hi) AS (VALUES {ranges}),
     cache AS (
       SELECT t.doc_id, t.tk,
              CAST(1.2 * (0.25 + 0.75 * nq.lo /
                   (SELECT CAST(sum_dl AS DOUBLE) / n_docs FROM stats)) AS REAL) AS c
-      FROM toks t JOIN nq ON len(t.tk) >= nq.lo AND len(t.tk) < nq.hi)
+      FROM toks t JOIN nq ON t.dl >= nq.lo AND t.dl < nq.hi)
 """
 
 
@@ -320,7 +325,7 @@ def _bm25_rank_tail(scored_sql: str, k: int, live: str = "",
     ) WHERE rank > {start} AND rank <= {start + k} ORDER BY rank"""
 
 
-def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0",
+def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0", dl: str = "len(tk)",
                           exclude: tuple = (), require: tuple = (),
                           start: int = 0,
                           src_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -348,7 +353,7 @@ def _bm25_sql_disjunction(terms, k: int = 10, live: str = "", chain: str = "tk0"
         acc = f"({acc} + COALESCE(s{i}.sc, CAST(0 AS REAL)))"
     joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(len(terms)))
     scored = f"SELECT al.doc_id, {acc} AS sc FROM (SELECT doc_id FROM ({union})) al{joins}"
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql, dl=dl) + ctes
             + _bm25_rank_tail(scored, k, live, start))
 
 
@@ -446,7 +451,7 @@ def _boost_sql(term: str, m: float, a: float, b: float, k: int = 10) -> str:
     score times float32(recip) — recip computed in double, single cast,
     then a REAL multiply (operators/select.py boost path)."""
     prelude = _BM25_PRELUDE.format(
-        ranges=_byte4_ranges(), chain="tk0",
+        ranges=_byte4_ranges(), chain="tk0", dl="len(tk)",
         src="SELECT doc_id, text FROM documents")
     ctes = _bm25_term_ctes(0, term, 1.0)
     scored = (f"SELECT doc_id, sc * CAST({a!r} / ({m!r} * doc_id + {b!r})"
@@ -499,7 +504,7 @@ def _elevation_sql(terms, elevate_ids, exclude_ids, k: int = 10) -> str:
     scored = (f"SELECT al.doc_id, {acc} AS sc FROM "
               f"(SELECT doc_id FROM ({union})) al{joins}"
               + (f" WHERE al.doc_id NOT IN ({excl})" if excl else ""))
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0",
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0", dl="len(tk)",
                                  src="SELECT doc_id, text FROM documents")
             + ctes + f""",
     scored AS ({scored}),
@@ -522,7 +527,7 @@ def _elevation_sql(terms, elevate_ids, exclude_ids, k: int = 10) -> str:
 
 
 def _rerank_sql(main_terms, rr_term: str, rerank_docs: int, weight: float,
-                k: int = 10, chain: str = "tk0",
+                k: int = 10, chain: str = "tk0", dl: str = "len(tk)",
                 src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """{!rerank} oracle: main disjunction's top-``rerank_docs`` window
     (rank ties by doc_id, same as the engine's global merge), each
@@ -538,7 +543,7 @@ def _rerank_sql(main_terms, rr_term: str, rerank_docs: int, weight: float,
         acc = f"({acc} + COALESCE(s{i}.sc, CAST(0 AS REAL)))"
     joins = "".join(f" LEFT JOIN s{i} USING (doc_id)" for i in range(n))
     return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain,
-                                 src=src_sql) + ctes + f""",
+                                 src=src_sql, dl=dl) + ctes + f""",
     mainsc AS (SELECT al.doc_id, {acc} AS sc
                FROM (SELECT doc_id FROM ({union})) al{joins}),
     win AS (SELECT doc_id, sc FROM (
@@ -558,7 +563,7 @@ def _rerank_sql(main_terms, rr_term: str, rerank_docs: int, weight: float,
     ) WHERE rank <= {k} ORDER BY rank""")
 
 
-def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0",
+def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0", dl: str = "len(tk)",
                           src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     ctes = "".join(_bm25_term_ctes(i, t, b) for i, (t, b) in enumerate(terms))
     acc = "s0.sc"
@@ -566,11 +571,11 @@ def _bm25_sql_conjunction(terms, k: int = 10, chain: str = "tk0",
         acc = f"({acc} + s{i}.sc)"
     joins = "".join(f" JOIN s{i} USING (doc_id)" for i in range(1, len(terms)))
     scored = f"SELECT s0.doc_id, {acc} AS sc FROM s0{joins}"
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql, dl=dl) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_min_should_match(terms, mm: int, k: int = 10, chain: str = "tk0",
+def _bm25_sql_min_should_match(terms, mm: int, k: int = 10, chain: str = "tk0", dl: str = "len(tk)",
                                src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Disjunction whose candidates must match >= mm clauses; scores
     still sum ALL matching clauses (float32, query order)."""
@@ -583,11 +588,11 @@ def _bm25_sql_min_should_match(terms, mm: int, k: int = 10, chain: str = "tk0",
     scored = (f"SELECT al.doc_id, {acc} AS sc FROM "
               f"(SELECT doc_id FROM ({union}) GROUP BY doc_id "
               f"HAVING COUNT(*) >= {mm}) al{joins}")
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql, dl=dl) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10, chain: str = "tk0",
+def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10, chain: str = "tk0", dl: str = "len(tk)",
                      src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """DisMax: score = max + tiebreak*(total - max), float32 (total
     accumulated left-associatively in clause order like the kernel)."""
@@ -601,11 +606,11 @@ def _bm25_sql_dismax(terms, tiebreak: float, k: int = 10, chain: str = "tk0",
     scored = f"""SELECT doc_id, (mx + CAST({tiebreak!r} AS REAL) * (tot - mx)) AS sc
       FROM (SELECT al.doc_id, {acc} AS tot, GREATEST({", ".join(vs)}) AS mx
             FROM (SELECT doc_id FROM ({union})) al{joins})"""
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql, dl=dl) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0",
+def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0", dl: str = "len(tk)",
                      src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Exact (slop 0) phrase: tf = count of ordered adjacent matches;
     weight = float32(boost * sum(idf(term))) summed in phrase order."""
@@ -627,11 +632,11 @@ def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0",
                    len([i FOR i IN range(1, {hi}) IF {conds}]) AS tf
             FROM cache)
       WHERE tf > 0"""
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql) + ctes
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql, dl=dl) + ctes
             + _bm25_rank_tail(scored, k))
 
 
-def _bm25_sql_spanfirst(term: str, end: int, k: int = 10, chain: str = "tk0",
+def _bm25_sql_spanfirst(term: str, end: int, k: int = 10, chain: str = "tk0", dl: str = "len(tk)",
                         src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """SpanFirst oracle: tf counts only 1-based token indices <= end
     (0-based position < end, i.e. span.end() <= end); df / idf stay the
@@ -650,7 +655,7 @@ def _bm25_sql_spanfirst(term: str, end: int, k: int = 10, chain: str = "tk0",
              CAST(1.0 * ({idf}) AS REAL)
              * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc
       FROM m0 WHERE tf > 0"""
-    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql)
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain, src=src_sql, dl=dl)
             + ctes + _bm25_rank_tail(scored, k))
 
 
@@ -1697,7 +1702,7 @@ def _ltr_sql(term: str, w1: float, w2: float, w3: float,
     """LTR oracle: float32 BM25 candidates (top-``cand``), features in
     double (bm25, ln(1+dl), 1000/(id+10)), linear combine in the same
     left-associative order as operators/ltr.linear_rerank."""
-    prelude = _BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0", src="SELECT doc_id, text FROM documents")
+    prelude = _BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0", dl="len(tk)", src="SELECT doc_id, text FROM documents")
     ctes = _bm25_term_ctes(0, term, 1.0)
     model = f"({w1!r} * bm25 + {w2!r} * log_dl) + {w3!r} * recency"
     return f"""{prelude}{ctes},
@@ -2691,7 +2696,7 @@ def oracle_sql() -> dict[str, str]:
         # query (s0 from the shared prelude), double boost combine in
         # the same order as product(query($qq), recip(doc_id,...))
         "fq_query_boost": _BM25_PRELUDE.format(
-            ranges=_byte4_ranges(), chain="tk0",
+            ranges=_byte4_ranges(), chain="tk0", dl="len(tk)",
             src="SELECT doc_id, text FROM documents")
         + _bm25_term_ctes(0, "spark", 1.0) + """,
             scores AS (SELECT doc_id, sc FROM s0)
@@ -2764,7 +2769,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE tf > 0
         """,
         "bm25_phonetic_topk": _bm25_sql_disjunction(
-            [("spork", 1.0), ("S162", 1.0)], chain=_phonetic_chain()),
+            [("spork", 1.0), ("S162", 1.0)], chain=_phonetic_chain(),
+            dl="len(tk0)"),
         "phonetic_termfreq": f"""
             WITH toks AS (
               SELECT doc_id,
@@ -2807,7 +2813,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE tf > 0
         """,
         "bm25_common_grams_topk": _bm25_sql_disjunction(
-            [("the_line", 1.0), ("a_row", 1.0)], chain=_cg_chain()),
+            [("the_line", 1.0), ("a_row", 1.0)], chain=_cg_chain(),
+            dl="len(tk0)"),
         "delete_bm25_topk": _bm25_sql_disjunction(
             [("spark", 1.0), ("merge", 1.0)], live="doc_id % 7 != 0"),
         "update_bm25_topk": _bm25_sql_disjunction(

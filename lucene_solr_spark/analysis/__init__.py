@@ -365,6 +365,22 @@ def tokens_column(col, analyzer: str = "standard"):
     return F.filter(F.split(F.lower(col), pattern, -1), lambda t: t != "")
 
 
+def field_length(pairs) -> int:
+    """FieldInvertState length under BM25Similarity's DEFAULT
+    discountOverlaps=true (`[U] lucene/core/.../search/similarities/
+    BM25Similarity.java :: setDiscountOverlaps`): posIncr-0 overlap
+    tokens (synonyms, shingles/grams stacked on a source position,
+    phonetic codes, reversed-wildcard twins) do NOT count toward the
+    norm's doc length. Every emitter stacks overlaps on an existing
+    source position, so the discounted length is the count of DISTINCT
+    positions in the (term, position) stream. NOTE the Lucene
+    asymmetry kept intact: avgdl = sumTotalTermFreq / docCount still
+    counts overlap tokens (BM25Similarity.avgFieldLength), so segment
+    ``sum_dl`` stats stay emitted-token sums — only the per-doc norm
+    byte discounts."""
+    return len({p for _, p in pairs})
+
+
 def analyzer_has_gaps(analyzer: str) -> bool:
     """True when the chain's positions are not 0..dl-1 (stop-filter
     holes, or multi-emission filters stacking terms on one position) —

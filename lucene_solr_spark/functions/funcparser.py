@@ -97,6 +97,10 @@ class _Parser:
         self.subqueries = subqueries or {}
         #: subquery param -> joined score column alias (filled by query())
         self.used: dict = {}
+        #: bare field names referenced by the function text (filled at
+        #: the F.col() leaf — the AST-derived replacement for callers
+        #: that used to regex-scan the text for column mentions)
+        self.fields: set = set()
 
     def peek(self):
         return self.toks[self.i]
@@ -141,6 +145,7 @@ class _Parser:
                 if self.now is None:
                     raise FunctionQueryError("NOW used without now= anchor")
                 return F.lit(self.now.isoformat(sep=" ")).cast("timestamp_ntz")
+            self.fields.add(v)
             return F.col(v)
         raise FunctionQueryError(f"unexpected token {v!r}")
 
@@ -251,6 +256,17 @@ def parse_function_query(text: str, df: Optional[DataFrame] = None,
     return _as_col(_Parser(text, df, now).parse())
 
 
+def function_query_fields(text: str, df: Optional[DataFrame] = None,
+                          now: Optional[datetime] = None) -> set:
+    """Field names a function-query text references, derived from the
+    parsed AST (not a regex scan of the text — column names with regex
+    metacharacters and field-like words inside string literals were
+    mis-detected by the old \\b-scan)."""
+    p = _Parser(text, df, now)
+    p.parse()
+    return set(p.fields)
+
+
 def apply_function_query(df: DataFrame, text: str,
                          subqueries: Optional[dict] = None,
                          out_col: str = "fq_score", key: str = "doc_id",
@@ -329,6 +345,24 @@ def local_params_filter(text: str, df: Optional[DataFrame] = None,
     if qtype == "terms":
         fld = params["f"]
         sep = params.get("separator", ",")
-        vals = [v for v in body.split(sep)]
+        # values are whitespace-trimmed and cast to the FIELD's type
+        # (TermsQParserPlugin is field-type-aware: a double field
+        # compared to the string '42' must not rely on implicit casts)
+        vals: list = [v.strip() for v in body.split(sep)]
+        if df is not None and fld in df.columns:
+            from pyspark.sql import types as T
+
+            dt = df.schema[fld].dataType
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+                vals = [int(v) for v in vals]
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                vals = [float(v) for v in vals]
+            elif isinstance(dt, T.DecimalType):
+                from decimal import Decimal as _D
+
+                vals = [_D(v) for v in vals]
+            elif isinstance(dt, T.BooleanType):
+                vals = [v.lower() in ("true", "1") for v in vals]
         return F.col(fld).isin(vals)
     raise FunctionQueryError(f"unsupported local-params type {qtype!r}")

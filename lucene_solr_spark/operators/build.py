@@ -126,16 +126,25 @@ def _seg_term_codes(texts: List[str], analyzer: str):
 
     Gap-free analyzers return positions=None (the kernel derives them
     as 0..dl-1); stop-filtered analyzers return the explicit
-    position stream with holes (PositionIncrementAttribute gaps)."""
-    from ..analysis import analyzer_has_gaps, analyze, tokenize
+    position stream with holes (PositionIncrementAttribute gaps).
+
+    Returns ``(dls, norm_lens, codes, uniq_sorted, positions)``:
+    ``dls`` counts EMITTED tokens (the flat-stream offsets and the
+    segment's sum_dl == sumTotalTermFreq); ``norm_lens`` is the
+    discountOverlaps=true FieldInvertState length (posIncr-0 stacked
+    tokens excluded — see analysis.field_length) that feeds the norm
+    byte. Identical for non-stacking analyzers."""
+    from ..analysis import analyzer_has_gaps, analyze, field_length, tokenize
 
     if analyzer_has_gaps(analyzer):
         pair_lists = [analyze(t, analyzer) for t in texts]
         dls = np.fromiter((len(p) for p in pair_lists), dtype=np.int64,
                           count=len(pair_lists))
+        norm_lens = np.fromiter((field_length(p) for p in pair_lists),
+                                dtype=np.int64, count=len(pair_lists))
         total = int(dls.sum())
         if total == 0:
-            return dls, np.empty(0, np.int64), [], None
+            return dls, norm_lens, np.empty(0, np.int64), [], None
         flat = np.empty(total, dtype=object)
         pos = np.empty(total, dtype=np.int64)
         o = 0
@@ -145,20 +154,20 @@ def _seg_term_codes(texts: List[str], analyzer: str):
                 pos[o] = pp
                 o += 1
         codes, uniq = pd.factorize(flat, sort=True)
-        return dls, codes.astype(np.int64), list(uniq), pos
+        return dls, norm_lens, codes.astype(np.int64), list(uniq), pos
 
     lists = [tokenize(t, analyzer) for t in texts]
     dls = np.fromiter((len(lst) for lst in lists), dtype=np.int64, count=len(lists))
     total = int(dls.sum())
     if total == 0:
-        return dls, np.empty(0, np.int64), [], None
+        return dls, dls, np.empty(0, np.int64), [], None
     flat = np.empty(total, dtype=object)
     o = 0
     for lst in lists:
         flat[o:o + len(lst)] = lst
         o += len(lst)
     codes, uniq = pd.factorize(flat, sort=True)
-    return dls, codes.astype(np.int64), list(uniq), None
+    return dls, dls, codes.astype(np.int64), list(uniq), None
 
 
 def make_segment_writer(index_dir: str, analyzer: str = "standard",
@@ -187,10 +196,10 @@ def make_segment_writer(index_dir: str, analyzer: str = "standard",
     def process_segment(sub) -> dict:
         seg = sub["seg"][0].as_py()
         doc_ids = sub["doc_id"].to_numpy().astype(np.int64)
-        dls, codes_flat, uniq_list, pos_flat = _seg_term_codes(
+        dls, norm_lens, codes_flat, uniq_list, pos_flat = _seg_term_codes(
             sub[field_name].to_pylist(), analyzer
         )
-        norms_by_doc = encode_norms(dls).astype(np.int64)
+        norms_by_doc = encode_norms(norm_lens).astype(np.int64)
 
         total = int(dls.sum())
         if total:

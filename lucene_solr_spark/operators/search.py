@@ -769,12 +769,25 @@ class IndexReader:
         from ..plans.query import multiterm_predicate
 
         pred = multiterm_predicate(mq)
-        # scan cond is a superset; Python predicate decides membership
-        return [t for t in (
-            r["term"] for r in
+        # The collect is BOUNDED at max_expansions (Lucene
+        # TopTermsRewrite, `[U] lucene/core/.../search/MultiTermQuery
+        # .java :: TopTermsBlendedFreqScoringRewrite`): rank terms
+        # distributed — nearest edit distance first (= highest fuzzy
+        # boost), then highest df (Lucene's blended-freq tie-break),
+        # then term — and TakeOrderedAndProject keeps only the top
+        # max_expansions, so a pathological vocabulary with millions of
+        # edit-2 neighbors cannot flood the driver.
+        rows = (
             self.postings.filter(self._multiterm_cond(mq))
-            .select("term").distinct().collect()
-        ) if pred(t)]
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .withColumn("dist", F.levenshtein(F.col("term"),
+                                              F.lit(mq.pattern)))
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(int(mq.max_expansions))
+            .select("term").collect()
+        )
+        # scan cond is a superset; Python predicate decides membership
+        return [t for t in (r["term"] for r in rows) if pred(t)]
 
     # -- search
     def search(self, query: str | Query, k: int = 10, prune: str = "maxscore",

@@ -168,12 +168,15 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
                              default_op=str(params.get("q.op", "OR")))
 
     if boost_fn is not None:
-        import re as _re
+        from ..functions.funcparser import (function_query_fields,
+                                            parse_function_query)
 
-        from ..functions.funcparser import parse_function_query
-
+        # referenced fields come from the parsed function AST, not a
+        # text scan (column names with regex metacharacters and
+        # field-like words inside string literals mis-detect)
+        fq_fields = function_query_fields(boost_fn)
         refs = [c for c in idx.docmeta.columns
-                if c != "doc_id" and _re.search(rf"\b{c}\b", boost_fn)]
+                if c != "doc_id" and c in fq_fields]
         if refs:
             matches = matches.join(
                 idx.docmeta.select("doc_id", *refs), "doc_id", "left")
@@ -192,13 +195,14 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     elif "(" in sort_field:
         # sort by function query (Solr `sort=abs(sub(x,y)) asc` —
         # ValueSourceParser dispatch): parse the Solr function text to
-        # a Column, join ONLY the stored fields it references
-        import re as _re
+        # a Column, join ONLY the stored fields it references (derived
+        # from the parsed AST, see the boost block above)
+        from ..functions.funcparser import (function_query_fields,
+                                            parse_function_query)
 
-        from ..functions.funcparser import parse_function_query
-
+        fq_fields = function_query_fields(sort_field)
         refs = [c for c in idx.docmeta.columns
-                if c != "doc_id" and _re.search(rf"\b{c}\b", sort_field)]
+                if c != "doc_id" and c in fq_fields]
         ordered = matches.join(
             idx.docmeta.select("doc_id", *refs), "doc_id", "left"
         ).withColumn("__sortv", parse_function_query(sort_field))

@@ -399,8 +399,7 @@ class _Parser:
                     for c in (prev, nxt):
                         (must_not if isinstance(c, _Neg) else must).append(
                             c.query if isinstance(c, _Neg) else c)
-                    clauses.append(BooleanQuery(
-                        must=tuple(must), must_not=tuple(must_not)))
+                    clauses.append(_conj(must, must_not))
                 else:
                     clauses.append(nxt)
             else:
@@ -428,7 +427,7 @@ class _Parser:
                 must_not.append(c.query)
             else:
                 must.append(c)
-        return BooleanQuery(must=tuple(must), must_not=tuple(must_not))
+        return _conj(must, must_not)
 
     def _not_expr(self, fld: str):
         if self.lex.peek()[0] == "not":
@@ -555,6 +554,19 @@ class _Neg:
     """Parse-time marker for NOT; resolved into must_not by the parent."""
 
     query: Query
+
+
+def _conj(must, must_not) -> BooleanQuery:
+    """Conjunction builder shared by explicit AND and q.op=AND implicit
+    joins: a PURELY negative conjunction ('NOT a NOT b' / 'NOT a AND
+    NOT b') gets MatchAll injected into must — mirroring the top-level
+    pure-negation rewrite in parse_query — so it means all-docs-minus
+    instead of Lucene's match-nothing prohibited-only BooleanQuery
+    (`[U] solr/core/.../search/QueryUtils.java :: makeQueryable`
+    fixNegativeQuery behavior)."""
+    if not must and must_not:
+        must = [MatchAllQuery()]
+    return BooleanQuery(must=tuple(must), must_not=tuple(must_not))
 
 
 def parse_query(text: str, default_field: str = DEFAULT_FIELD,

@@ -23,7 +23,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from lucene_solr_spark.analysis import analyze
+from lucene_solr_spark.analysis import analyze, field_length
 from lucene_solr_spark.functions.bm25 import (
     BM25Stats,
     norm_cache,
@@ -65,7 +65,10 @@ class OracleIndex:
         for doc_id, text in docs:
             toks = analyze(text, analyzer)
             self.doc_ids.append(doc_id)
-            self.norm_bytes[doc_id] = int_to_byte4(len(toks))
+            # norm discounts posIncr-0 overlaps (discountOverlaps=true);
+            # sum_dl stays the emitted-token total (sumTotalTermFreq —
+            # Lucene's avgFieldLength keeps overlaps, see field_length)
+            self.norm_bytes[doc_id] = int_to_byte4(field_length(toks))
             sum_dl += len(toks)
             for t, pos in toks:
                 self.postings.setdefault(t, {}).setdefault(doc_id, 0)

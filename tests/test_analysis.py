@@ -354,3 +354,22 @@ def test_reversed_emitter_properties():
         assert [t for t, _ in base] == tokenize(text, "standard")
 
     check()
+
+
+def test_field_length_discounts_overlaps():
+    """discountOverlaps=true (BM25Similarity default): posIncr-0
+    stacked tokens don't count toward the norm length; emitted-token
+    count (sumTotalTermFreq) still includes them."""
+    from lucene_solr_spark.analysis import analyze, field_length
+
+    # phonetic inject: token + soundex code share one position
+    toks = analyze("spark merge", "phonetic")
+    assert len(toks) > 2                 # codes injected
+    assert field_length(toks) == 2       # but dl counts positions
+    # reversed_wildcard doubles every token at the same position
+    toks = analyze("spark merge dark", "reversed_wildcard")
+    assert len(toks) == 6
+    assert field_length(toks) == 3
+    # stop-gap analyzers: no stacking, dl == emitted count
+    toks = analyze("the spark and the merge", "standard_stop")
+    assert field_length(toks) == len(toks)

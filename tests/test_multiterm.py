@@ -261,3 +261,44 @@ def test_reversed_wildcard_leading(spark, tmp_path):
     # phrases see only original tokens (reversed twins are posIncr 0)
     got = sorted(r["doc_id"] for r in idx.search('"spark merge"', k=10).collect())
     assert got == [0]
+
+
+def test_fuzzy_expansion_capped_top_terms_by_df(spark, tmp_path):
+    """FuzzyQuery rewrite is bounded at max_expansions (`[U] lucene/
+    core/.../search/MultiTermQuery.java ::
+    TopTermsBlendedFreqScoringRewrite`): with a vocabulary of more
+    edit-1 neighbors than the cap, the driver-side collect receives
+    exactly max_expansions terms, selected nearest-distance-first and
+    by df desc among ties (Lucene's blended-freq tie-break)."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+    from lucene_solr_spark.plans.query import MultiTermQuery, TermQuery
+
+    # 12 edit-1 neighbors of "beam0": "beama".."beaml"; neighbor i
+    # appears in i+1 docs so df strictly increases along the alphabet
+    neighbors = [f"beam{c}" for c in "abcdefghijkl"]
+    docs, did = [], 0
+    for i, t in enumerate(neighbors):
+        for _ in range(i + 1):
+            docs.append((did, f"{t} filler{did}"))
+            did += 1
+    df = spark.createDataFrame(
+        [(i, t, "r", f"p/{i}", "c", "en") for i, t in docs],
+        "doc_id long, content string, repo string, path string, "
+        "commit string, lang string")
+    d = str(tmp_path / "fz")
+    build_index(spark, df, d, docs_per_seg=16)
+    idx = IndexReader(spark, d)
+
+    q = MultiTermQuery(kind="fuzzy", pattern="beam0", max_edits=1,
+                       max_expansions=5)
+    terms = idx._matching_terms(q)
+    assert len(terms) == 5
+    # all 12 neighbors are distance 1, so the df tie-break picks the 5
+    # highest-df terms: the LAST five alphabet letters
+    assert sorted(terms) == neighbors[-5:]
+    # and the rewritten query is a bounded disjunction of exactly those
+    rw = idx._expand(q)
+    leaf_terms = sorted(c.term for c in rw.should)
+    assert leaf_terms == neighbors[-5:]
+    assert all(isinstance(c, TermQuery) for c in rw.should)

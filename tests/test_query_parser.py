@@ -170,3 +170,20 @@ def test_default_operator_and():
     # NOT composes: "a -b" with AND default
     q = parse_query("spark NOT merge", default_op="AND")
     assert len(q.must) == 1 and len(q.must_not) == 1
+
+
+def test_pure_negative_conjunction_gets_matchall():
+    """'NOT a NOT b' (q.op=AND) and 'NOT a AND NOT b' mean
+    all-docs-minus, not match-nothing: the conjunction builder injects
+    MatchAll when must and should are empty but must_not is not
+    (mirrors Solr's fixNegativeQuery; the single-clause top-level
+    rewrite already handled bare 'NOT a')."""
+    from lucene_solr_spark.plans.query import (
+        BooleanQuery, MatchAllQuery, parse_query)
+
+    for text, op in [("NOT spark NOT merge", "AND"),
+                     ("NOT spark AND NOT merge", "OR")]:
+        q = parse_query(text, default_op=op)
+        assert isinstance(q, BooleanQuery), (text, q)
+        assert len(q.must_not) == 2, (text, q)
+        assert any(isinstance(m, MatchAllQuery) for m in q.must), (text, q)

@@ -214,9 +214,30 @@ def test_local_params_filters(spark):
     got = {r["id"] for r in df.filter(local_params_filter(
         "{!terms f=tag}b,c")).collect()}
     assert got == {2, 3, 4}
+    # field-type-aware terms (TermsQParserPlugin): values are trimmed
+    # and cast to the column's type when df is supplied — a numeric
+    # field never relies on implicit string casts
+    got = {r["id"] for r in df.filter(local_params_filter(
+        "{!terms f=id}2 , 4", df=df)).collect()}
+    assert got == {2, 4}
+    got = {r["id"] for r in df.filter(local_params_filter(
+        "{!terms f=v}20.0,30.0", df=df)).collect()}
+    assert got == {2, 3}
     assert parse_local_params("{!terms f=x separator=|}1|2")[1]["separator"] == "|"
     with _pytest.raises(FunctionQueryError):
         local_params_filter("{!unknown}x")
+
+
+def test_function_query_fields_from_ast():
+    """Referenced-field detection is AST-derived: string literals and
+    regex metacharacters in names don't confuse it."""
+    from lucene_solr_spark.functions.funcparser import function_query_fields
+
+    assert function_query_fields("product(price,sub(qty,2))") == {
+        "price", "qty"}
+    # a field-like word inside a string literal is NOT a reference
+    assert function_query_fields('strdist(tag,"price")') == {"tag"}
+    assert function_query_fields("abs(sub(a_b,1.5))") == {"a_b"}
 
 
 def test_sort_by_function_query(idx):

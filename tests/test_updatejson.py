@@ -41,17 +41,19 @@ def test_add_commit_overwrites_by_key(spark, tmp_path):
 
 def test_delete_by_id_and_query(spark, tmp_path):
     d = _mk(spark, tmp_path)
-    m = apply_update_commands(spark, d, [{"delete": {"id": 0}}])
+    m = apply_update_commands(spark, d,
+                              [{"delete": {"id": 0}}, {"commit": {}}])
     assert m is not None
     idx = IndexReader(spark, d)
     assert idx.count("merge") == 0
-    apply_update_commands(spark, d, [{"delete": {"query": "vector"}}])
+    apply_update_commands(spark, d,
+                          [{"delete": {"query": "vector"}}, {"commit": {}}])
     idx = IndexReader(spark, d)
     assert idx.count("hash") == 0
     assert idx.count("spark") == 1  # doc 1 remains
 
 
-def test_uncommitted_adds_dropped_and_errors(spark, tmp_path):
+def test_uncommitted_work_dropped_and_errors(spark, tmp_path):
     d = _mk(spark, tmp_path)
     m = apply_update_commands(spark, d, [
         {"add": {"doc": {"repo": "r", "path": "x", "commit": "c",
@@ -59,7 +61,36 @@ def test_uncommitted_adds_dropped_and_errors(spark, tmp_path):
     ])
     assert m is None                       # no commit -> not visible
     assert IndexReader(spark, d).count("ghost") == 0
+    # uncommitted DELETES are dropped too (JsonLoader durability is
+    # commit-gated for the whole command log, not just adds)
+    m = apply_update_commands(spark, d, [{"delete": {"id": 0}}])
+    assert m is None
+    assert IndexReader(spark, d).count("merge") == 1
     with pytest.raises(ValueError):
         apply_update_commands(spark, d, [{"nope": {}}])
     with pytest.raises(ValueError):
-        apply_update_commands(spark, d, [{"delete": {}}])
+        apply_update_commands(spark, d, [{"delete": {}}, {"commit": {}}])
+
+
+def test_add_then_delete_same_doc_stays_deleted(spark, tmp_path):
+    """JsonLoader applies commands in order: [{add X}, {delete X.id},
+    {commit}] must NOT resurrect X (the delete fences the add batch)."""
+    d = _mk(spark, tmp_path)
+    m = apply_update_commands(spark, d, [
+        {"add": {"doc": {"repo": "r", "path": "a", "commit": "c2",
+                         "lang": "t", "content": "revived spark"}}},
+        {"delete": {"query": "revived"}},
+        {"commit": {}},
+    ])
+    assert m is not None
+    idx = IndexReader(spark, d)
+    assert idx.count("revived") == 0       # the later delete wins
+    # and the reverse order resurrects: delete first, then re-add
+    m = apply_update_commands(spark, d, [
+        {"delete": {"id": 2}},
+        {"add": {"doc": {"repo": "r", "path": "c", "commit": "c3",
+                         "lang": "t", "content": "vector reborn"}}},
+        {"commit": {}},
+    ])
+    idx = IndexReader(spark, d)
+    assert idx.count("reborn") == 1

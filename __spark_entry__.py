@@ -526,6 +526,44 @@ def _elevation_sql(terms, elevate_ids, exclude_ids, k: int = 10) -> str:
     ) WHERE rank <= {k} ORDER BY rank""")
 
 
+def _collate_sql(bad1: str = "sparkk", bad2: str = "mergee") -> str:
+    """Spellcheck-collation oracle (shared by the standalone entry and
+    the facade composition): each absent term replaced by its top
+    DirectSpellChecker suggestion (dist asc, df desc, term asc), then
+    the corrected all-MUST query's exact hit count."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            td AS (SELECT t AS term, COUNT(DISTINCT doc_id) AS df
+                   FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1),
+            s1 AS (SELECT term FROM td
+                   WHERE levenshtein(term, '{bad1}') BETWEEN 1 AND 2
+                   ORDER BY levenshtein(term, '{bad1}'), df DESC, term LIMIT 1),
+            s2 AS (SELECT term FROM td
+                   WHERE levenshtein(term, '{bad2}') BETWEEN 1 AND 2
+                   ORDER BY levenshtein(term, '{bad2}'), df DESC, term LIMIT 1),
+            h AS (SELECT COUNT(*) AS hits FROM toks, s1, s2
+                  WHERE list_contains(tk, s1.term)
+                    AND list_contains(tk, s2.term))
+            SELECT (SELECT term FROM s1) || ' ' || (SELECT term FROM s2)
+                     AS collation,
+                   hits
+            FROM h
+        """
+
+
+def _select_elevate_collate_sql() -> str:
+    """Facade composition oracle: the QEC-elevated page (same ordering
+    as _elevation_sql) cross-joined with the 1-row collation digest."""
+    elev = _elevation_sql([("spark", 1.0), ("merge", 1.0)], (7, 2), (1,), 10)
+    return f"""
+        SELECT e.rank, e.doc_id, e.score_r, c.collation, c.hits
+        FROM ({elev}) e CROSS JOIN ({_collate_sql()}) c ORDER BY e.rank"""
+
+
 def _rerank_sql(main_terms, rr_term: str, rerank_docs: int, weight: float,
                 k: int = 10, chain: str = "tk0", dl: str = "len(tk)",
                 src_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -1251,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [(gr.shortest_path_length(_edges(s, sf), "P1", "P2", "src", "dst",
                                   max_hops=6),)], "hops int")
     q["ingest_json_roundtrip"] = _ingest_json_roundtrip
+    q["ingest_xml_roundtrip"] = _ingest_xml_roundtrip
     q["ingest_csv_roundtrip"] = _ingest_csv_roundtrip
 
     # ---- Solr /select facade (SURVEY §3.2 SearchHandler component
@@ -1308,6 +1347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["elevation_topk"] = lambda s, sf: sel.query_elevation(
         _index_for(s, sf, analyzer="simple"), "spark OR merge",
         elevate_ids=(7, 2), exclude_ids=(1,), k=10)
+    # QEC + spellcheck collation THROUGH the /select facade (VERDICT r4
+    # next #6): elevateIds/excludeIds pin the page inside solr_select's
+    # own sort pipeline, spellcheck.collate re-verifies the corrected
+    # query; graded output = elevated page x (collation, hits)
+    q["solr_select_elevate_collate"] = _solr_select_elevate_collate
 
     # ---- streaming-expression TEXT front door (SURVEY §2.9,
     # StreamExpressionParser): parse the Solr text form, compose the
@@ -1675,6 +1719,7 @@ _WINDOW_ORDER = [
     # never-graded: /select facade depth + export + elevation
     "solr_select_boost", "solr_select_qop_and", "solr_select_sortfunc",
     "export_lineitem_sorted", "elevation_topk",
+    "solr_select_elevate_collate",
     # never-graded: streaming-expression text parser fetch + JSON-Facet
     # domain switches + block joins
     "streamexpr_text_fetch", "json_facet_sorted",
@@ -1684,8 +1729,8 @@ _WINDOW_ORDER = [
     "spellcheck_collate", "suggest_infix",
     # never-graded: local-params filters + terms component
     "frange_orders", "terms_filter_parts", "terms_enum_range",
-    # never-graded: dedup/text-analysis depth
-    "signature_dedup", "text_repetition",
+    # never-graded: dedup/text-analysis depth + the NEW XML loader seam
+    "signature_dedup", "text_repetition", "ingest_xml_roundtrip",
     # never-graded: function-query family (fq_ms_ord left out —
     # same ord/rord class as fq_strdist's string-distance shape)
     "fq_scale", "fq_haversine", "fq_bbox", "fq_query_boost",
@@ -2027,6 +2072,24 @@ def _solr_select_edismax(s: SparkSession, sf: str) -> DataFrame:
     ).crossJoin(digest)
 
 
+def _solr_select_elevate_collate(s: SparkSession, sf: str) -> DataFrame:
+    """/select with QueryElevationComponent params + spellcheck
+    collation (`[U] solr/core/.../handler/component/
+    QueryElevationComponent.java`, ``SpellCheckComponent.java ::
+    collate``): one parameter map drives both — the elevated page and
+    the re-verified collation ride the same facade call."""
+    r = sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": "spark OR merge", "rows": 10,
+         "elevateIds": "7,2", "excludeIds": "1",
+         "spellcheck": True, "spellcheck.q": "sparkk mergee",
+         "spellcheck.collate": True})
+    return r.docs.select(
+        F.col("position").cast("long").alias("rank"), "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r"),
+    ).crossJoin(r.collation)
+
+
 def _edges(s: SparkSession, sf: str) -> DataFrame:
     """Bipartite part-order graph from lineitem, as directed edges both
     ways with typed node labels (P<partkey>, O<orderkey>)."""
@@ -2069,6 +2132,41 @@ def _ingest_json_roundtrip(s: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("text")).alias("text_chars"),
+    )
+
+
+def _ingest_xml_roundtrip(s: SparkSession, sf: str) -> DataFrame:
+    """XML update-envelope seam (SURVEY §2.1, `[U] solr/core/.../
+    handler/loader/XMLLoader.java`): render 500 documents as Solr's
+    ``<update><add><doc><field name=…>`` form, parse back through
+    parse_xml_update (the same command list the /update JSON path
+    consumes), and checksum — the protocol seam is lossless. The
+    500-row driver round-trip is protocol-sized by construction (an
+    update BATCH, not a corpus scan)."""
+    from xml.sax.saxutils import escape
+
+    from lucene_solr_spark.sources import parse_xml_update
+
+    rows = (load_documents(s, sf).filter(F.col("doc_id") < 500)
+            .select("doc_id", "lang", "text").collect())
+    parts = ["<update><add>"]
+    for r in rows:
+        parts.append(
+            f'<doc><field name="doc_id">{r["doc_id"]}</field>'
+            f'<field name="lang">{escape(r["lang"])}</field>'
+            f'<field name="text">{escape(r["text"])}</field></doc>')
+    parts.append("</add><commit/></update>")
+    cmds = parse_xml_update("".join(parts))
+    assert cmds[-1] == {"commit": {}}
+    docs = [c["add"]["doc"] for c in cmds[:-1]]
+    back = s.createDataFrame(
+        [(int(d["doc_id"]), d["lang"], d["text"]) for d in docs],
+        "doc_id long, lang string, text string")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.count_distinct("lang").alias("n_langs"),
     )
 
 
@@ -2364,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
         "elevation_topk": _elevation_sql(
             [("spark", 1.0), ("merge", 1.0)],
             elevate_ids=(7, 2), exclude_ids=(1,)),
+        "solr_select_elevate_collate": _select_elevate_collate_sql(),
         "bm25_english_topk": _bm25_sql_disjunction(
             [("merg", 1.0), ("sort", 1.0)], chain=_english_chain()),
         "english_termfreq": f"""
@@ -2456,6 +2555,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
             FROM documents
+        """,
+        "ingest_xml_roundtrip": """
+            SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents WHERE doc_id < 500
         """,
         "solr_select_page": f"""
             SELECT p.rank AS position, p.doc_id, p.score_r, d.lang
@@ -2599,28 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # collation: per misspelled term the same (dist, df DESC, term)
         # top-1 as spellcheck_suggest; hits = docs containing BOTH picks
-        "spellcheck_collate": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
-                                 t -> t != '') AS tk
-              FROM documents),
-            td AS (SELECT t AS term, COUNT(DISTINCT doc_id) AS df
-                   FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1),
-            s1 AS (SELECT term FROM td
-                   WHERE levenshtein(term, 'sparkk') BETWEEN 1 AND 2
-                   ORDER BY levenshtein(term, 'sparkk'), df DESC, term LIMIT 1),
-            s2 AS (SELECT term FROM td
-                   WHERE levenshtein(term, 'mergee') BETWEEN 1 AND 2
-                   ORDER BY levenshtein(term, 'mergee'), df DESC, term LIMIT 1),
-            h AS (SELECT COUNT(*) AS hits FROM toks, s1, s2
-                  WHERE list_contains(tk, s1.term)
-                    AND list_contains(tk, s2.term))
-            SELECT (SELECT term FROM s1) || ' ' || (SELECT term FROM s2)
-                     AS collation,
-                   hits
-            FROM h
-        """,
+        "spellcheck_collate": _collate_sql(),
         "text_language_id": _language_id_sql(),
         "dedup_simhash": _simhash_sql(3),
         "text_fingerprint_stats": _fingerprint_sql(),

@@ -60,21 +60,44 @@ class SelectResponse:
     facets: Dict[str, DataFrame] = field(default_factory=dict)
     highlighting: Optional[DataFrame] = None   #: (doc_id, snippets)
     spellcheck: Optional[DataFrame] = None     #: (term, df, dist)
+    collation: Optional[DataFrame] = None      #: (collation, hits)
     next_cursor_mark: Optional[str] = None     #: opaque cursor for the next page
 
     def num_found(self) -> int:
         return self.matches.count()
 
-    def response(self, start: int = 0) -> Dict:
+    def total_hits(self, threshold: int = 1000) -> tuple:
+        """Lucene 8 TotalHits contract (`[U] lucene/core/.../search/
+        TotalHits.java`): above ``totalHitsThreshold`` (default 1000,
+        `[U] .../search/IndexSearcher.java :: TOTAL_HITS_THRESHOLD`)
+        the collector stops counting and reports a LOWER BOUND with
+        relation GREATER_THAN_OR_EQUAL_TO. This engine's count is
+        exact either way (a distributed count costs the same), so the
+        value reported above the threshold is the exact count — still
+        a valid >= bound — while the RELATION faithfully flips, so
+        wire-shape consumers see Lucene 8's contract.
+
+        Returns ``(value, relation)`` with relation one of
+        ``"EQUAL_TO"`` / ``"GREATER_THAN_OR_EQUAL_TO"``."""
+        n = self.num_found()
+        rel = "EQUAL_TO" if n <= threshold else "GREATER_THAN_OR_EQUAL_TO"
+        return n, rel
+
+    def response(self, start: int = 0,
+                 total_hits_threshold: int = 1000) -> Dict:
         """Solr wire-format response body (`[U] solr/core/.../response/
         JSONResponseWriter.java` shape): responseHeader + response
-        {numFound, start, docs} + optional facet_counts / highlighting
-        / spellcheck sections. The page is tiny by construction, so the
-        collect here is the same driver cost Solr pays serializing."""
+        {numFound, numFoundExact, start, docs} + optional facet_counts
+        / highlighting / spellcheck sections (numFoundExact is Solr
+        8.6+'s surfacing of the TotalHits relation). The page is tiny
+        by construction, so the collect here is the same driver cost
+        Solr pays serializing."""
+        n, rel = self.total_hits(total_hits_threshold)
         body = {
             "responseHeader": {"status": 0},
             "response": {
-                "numFound": self.num_found(),
+                "numFound": n,
+                "numFoundExact": rel == "EQUAL_TO",
                 "start": start,
                 "docs": [r.asDict() for r in self.docs.collect()],
             },
@@ -94,6 +117,9 @@ class SelectResponse:
         if self.spellcheck is not None:
             body["spellcheck"] = {"suggestions": [
                 r.asDict() for r in self.spellcheck.collect()]}
+        if self.collation is not None:
+            body.setdefault("spellcheck", {})["collations"] = [
+                r.asDict() for r in self.collation.collect()]
         if self.next_cursor_mark is not None:
             body["nextCursorMark"] = self.next_cursor_mark
         return body
@@ -185,12 +211,46 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
             (F.col("score") * parse_function_query(boost_fn).cast("float"))
             .cast("float")).select("doc_id", "score")
 
+    # QueryElevationComponent wiring (elevateIds/excludeIds params —
+    # Solr's QEC request override): excluded ids vanish, elevated ids
+    # are pinned first in config order (score 0 when unmatched); only
+    # meaningful under the default relevancy sort, like the reference.
+    elevate = params.get("elevateIds", [])
+    if isinstance(elevate, str):
+        elevate = [int(x) for x in elevate.split(",") if x.strip()]
+    exclude = params.get("excludeIds", [])
+    if isinstance(exclude, str):
+        exclude = [int(x) for x in exclude.split(",") if x.strip()]
+    elev_order: List = []
+    if elevate or exclude:
+        if sort.split()[0] != "score":
+            raise ValueError("elevateIds requires sort=score (QEC)")
+        if exclude:
+            matches = matches.filter(
+                ~F.col("doc_id").isin([int(i) for i in exclude]))
+        if elevate:
+            spark = idx.spark
+            elev = spark.createDataFrame(
+                [(int(d), r) for r, d in enumerate(elevate)],
+                "doc_id long, _elev int")
+            got = {r["doc_id"] for r in matches.join(
+                F.broadcast(elev), "doc_id", "left_semi")
+                .select("doc_id").collect()}
+            missing = [(int(d), float(0.0)) for d in elevate
+                       if int(d) not in got]
+            if missing:
+                matches = matches.unionByName(spark.createDataFrame(
+                    missing, "doc_id long, score float"))
+            matches = matches.join(F.broadcast(elev), "doc_id", "left")
+            elev_order = [F.asc_nulls_last("_elev")]
+
     parts = sort.split()
     sort_field, direction = parts[0], (parts[1] if len(parts) > 1 else "asc")
     if sort_field == "score":
         ordered = matches
-        order_cols = [F.desc("score") if direction == "desc" else F.asc("score"),
-                      F.asc("doc_id")]
+        order_cols = elev_order + [
+            F.desc("score") if direction == "desc" else F.asc("score"),
+            F.asc("doc_id")]
         sort_col = "score"
     elif "(" in sort_field:
         # sort by function query (Solr `sort=abs(sub(x,y)) asc` —
@@ -277,12 +337,19 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
         highlighting = highlight(hits, hfl, terms).select("doc_id", "snippets")
 
     spellcheck = None
+    collation = None
     if params.get("spellcheck"):
-        spellcheck = idx.suggest_similar(params["spellcheck.q"])
+        sq = params["spellcheck.q"]
+        spellcheck = idx.suggest_similar(sq.split()[0] if " " in sq else sq)
+        if params.get("spellcheck.collate"):
+            # SpellCheckComponent collate=true: whole-query rewrite,
+            # each absent term replaced by its top suggestion, then
+            # re-verified (hits of the corrected all-MUST query)
+            collation = idx.spellcheck_collate(sq.split())
 
     return SelectResponse(docs=docs, matches=matches, facets=facets,
                           highlighting=highlighting, spellcheck=spellcheck,
-                          next_cursor_mark=next_cursor)
+                          collation=collation, next_cursor_mark=next_cursor)
 
 
 def query_elevation(idx, q: str, elevate_ids: Sequence[int],

@@ -21,8 +21,64 @@ __all__ = [
     "load_documents", "load_source_table", "load_source_any", "load_jdbc",
     "synth_repo_files", "synth_rows",
     "synth_corpus_local", "assign_doc_ids", "SOURCE_SCHEMA",
-    "apply_update_processors",
+    "apply_update_processors", "parse_xml_update",
 ]
+
+
+def parse_xml_update(xml_text: str) -> list:
+    """Solr XML update envelope -> the ordered command list
+    ``operators.updatejson.apply_update_commands`` consumes
+    (`[U] solr/core/.../handler/loader/XMLLoader.java`):
+
+        <update>
+          <add><doc><field name="f">v</field>...</doc>...</add>
+          <delete><id>17</id><query>term</query></delete>
+          <commit/>
+        </update>
+
+    A bare top-level ``<add>``/``<delete>``/``<commit>`` (Solr accepts
+    both forms) parses the same. Repeated field names collect into a
+    list (multiValued fields). Only the protocol shape lives here —
+    everything distributed routes through the same lifecycle operators
+    as the JSON loader, preserving command order."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    if root.tag in ("add", "delete", "commit"):
+        nodes = [root]
+    elif root.tag == "update":
+        nodes = list(root)
+    else:
+        raise ValueError(f"unknown XML update element <{root.tag}>")
+    cmds: list = []
+    for node in nodes:
+        if node.tag == "add":
+            for docel in node.findall("doc"):
+                doc: dict = {}
+                for f in docel.findall("field"):
+                    name = f.attrib["name"]
+                    val = f.text or ""
+                    if name in doc:
+                        prev = doc[name]
+                        doc[name] = (prev if isinstance(prev, list)
+                                     else [prev]) + [val]
+                    else:
+                        doc[name] = val
+                cmds.append({"add": {"doc": doc}})
+        elif node.tag == "delete":
+            for ch in node:
+                if ch.tag == "id":
+                    cmds.append({"delete": {"id": int(ch.text)}})
+                elif ch.tag == "query":
+                    cmds.append({"delete": {"query": ch.text or ""}})
+                else:
+                    raise ValueError(f"delete needs <id> or <query>, "
+                                     f"got <{ch.tag}>")
+        elif node.tag == "commit":
+            cmds.append({"commit": {}})
+        else:
+            raise ValueError(f"unknown XML update element <{node.tag}>")
+    return cmds
 
 SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
 

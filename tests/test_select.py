@@ -268,3 +268,21 @@ def test_response_wire_format(idx):
     assert len(ff) % 2 == 0 and isinstance(ff[1], int)   # flat [val, cnt, ...]
     import json
     json.dumps(body)   # the body must be JSON-serializable end-to-end
+
+
+def test_total_hits_relation(idx):
+    """TotalHits contract (Lucene 8): exact EQUAL_TO at/below the
+    threshold, GREATER_THAN_OR_EQUAL_TO above it; the wire envelope
+    surfaces numFoundExact (Solr 8.6+)."""
+    from lucene_solr_spark.operators.select import solr_select
+
+    r = solr_select(idx, {"q": "spark OR merge", "rows": 2})
+    n = r.num_found()
+    assert n > 1
+    assert r.total_hits(threshold=n) == (n, "EQUAL_TO")
+    assert r.total_hits(threshold=n - 1) == (n, "GREATER_THAN_OR_EQUAL_TO")
+    body = r.response(total_hits_threshold=n - 1)
+    assert body["response"]["numFound"] == n
+    assert body["response"]["numFoundExact"] is False
+    body = r.response()
+    assert body["response"]["numFoundExact"] is True

@@ -94,3 +94,35 @@ def test_add_then_delete_same_doc_stays_deleted(spark, tmp_path):
     ])
     idx = IndexReader(spark, d)
     assert idx.count("reborn") == 1
+
+
+def test_xml_update_loader_roundtrip(spark, tmp_path):
+    """XMLLoader envelope: <add><doc><field>…, <delete>, <commit/> parse
+    into the SAME ordered command list as the JSON path and drive the
+    identical lifecycle (`[U] solr/core/.../handler/loader/
+    XMLLoader.java`)."""
+    from lucene_solr_spark.sources import parse_xml_update
+
+    cmds = parse_xml_update(
+        '<update>'
+        '<add><doc><field name="repo">r</field><field name="path">b</field>'
+        '<field name="commit">c2</field><field name="lang">t</field>'
+        '<field name="content">replaced via xml</field></doc></add>'
+        '<delete><id>2</id></delete>'
+        '<commit/>'
+        '</update>')
+    assert cmds[-1] == {"commit": {}}
+    assert cmds[1] == {"delete": {"id": 2}}
+    d = _mk(spark, tmp_path)
+    m = apply_update_commands(spark, d, cmds)
+    assert m is not None
+    idx = IndexReader(spark, d)
+    assert idx.count("xml") == 1          # the add landed
+    assert idx.count("vector") == 0       # doc 2 deleted
+    assert idx.count("sort") == 0         # (r, b) overwritten by key
+    # multiValued: repeated field names collect into a list
+    c2 = parse_xml_update('<add><doc><field name="tag">a</field>'
+                          '<field name="tag">b</field></doc></add>')
+    assert c2[0]["add"]["doc"]["tag"] == ["a", "b"]
+    with pytest.raises(ValueError):
+        parse_xml_update("<nope/>")

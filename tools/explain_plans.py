@@ -96,6 +96,24 @@ def main() -> None:
         "dictionary (IsNotNull only).",
     )
 
+    # 1b. bounded fuzzy rewrite: the matching-terms collect is a
+    # TakeOrderedAndProject capped at max_expansions (TopTermsRewrite)
+    fz = MultiTermQuery(kind="fuzzy", pattern="spark", max_edits=1,
+                        max_expansions=50)
+    add(
+        "Fuzzy term expansion (bounded TopTermsRewrite collect)",
+        idx.postings.filter(idx._multiterm_cond(fz))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(fz.pattern)))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(int(fz.max_expansions)).select("term"),
+        "Expect: the length-band filter pushed to the scan "
+        "(ReadSchema only term/df), partial+final HashAggregate for "
+        "the per-term df, and TakeOrderedAndProject(50) — the driver "
+        "receives at most max_expansions terms no matter how many "
+        "edit-distance neighbors the vocabulary holds.",
+    )
+
     # 2. facet agg: partial/final hash aggregate, codegen
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     add(

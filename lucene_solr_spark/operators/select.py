@@ -222,27 +222,36 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     if isinstance(exclude, str):
         exclude = [int(x) for x in exclude.split(",") if x.strip()]
     elev_order: List = []
-    if elevate or exclude:
+    if exclude:
+        # excludeIds is a plain doc-set subtraction — valid under any
+        # sort (QEC removes them from the result set entirely)
+        matches = matches.filter(
+            ~F.col("doc_id").isin([int(i) for i in exclude]))
+    if elevate:
+        # editorial pinning only composes with the relevancy sort, and
+        # a cursor built on (score, doc_id) cannot express the
+        # elevated-first ordering — reject both up front rather than
+        # silently mis-paging
         if sort.split()[0] != "score":
             raise ValueError("elevateIds requires sort=score (QEC)")
-        if exclude:
-            matches = matches.filter(
-                ~F.col("doc_id").isin([int(i) for i in exclude]))
-        if elevate:
-            spark = idx.spark
-            elev = spark.createDataFrame(
-                [(int(d), r) for r, d in enumerate(elevate)],
-                "doc_id long, _elev int")
-            got = {r["doc_id"] for r in matches.join(
-                F.broadcast(elev), "doc_id", "left_semi")
-                .select("doc_id").collect()}
-            missing = [(int(d), float(0.0)) for d in elevate
-                       if int(d) not in got]
-            if missing:
-                matches = matches.unionByName(spark.createDataFrame(
-                    missing, "doc_id long, score float"))
-            matches = matches.join(F.broadcast(elev), "doc_id", "left")
-            elev_order = [F.asc_nulls_last("_elev")]
+        if "cursorMark" in params:
+            raise ValueError("elevateIds does not compose with "
+                             "cursorMark (the cursor orders by "
+                             "(score, doc_id) only)")
+        spark = idx.spark
+        elev = spark.createDataFrame(
+            [(int(d), r) for r, d in enumerate(elevate)],
+            "doc_id long, _elev int")
+        got = {r["doc_id"] for r in matches.join(
+            F.broadcast(elev), "doc_id", "left_semi")
+            .select("doc_id").collect()}
+        missing = [(int(d), float(0.0)) for d in elevate
+                   if int(d) not in got]
+        if missing:
+            matches = matches.unionByName(spark.createDataFrame(
+                missing, "doc_id long, score float"))
+        matches = matches.join(F.broadcast(elev), "doc_id", "left")
+        elev_order = [F.asc_nulls_last("_elev")]
 
     parts = sort.split()
     sort_field, direction = parts[0], (parts[1] if len(parts) > 1 else "asc")

@@ -286,3 +286,24 @@ def test_total_hits_relation(idx):
     assert body["response"]["numFoundExact"] is False
     body = r.response()
     assert body["response"]["numFoundExact"] is True
+
+
+def test_elevation_facade_guards(idx):
+    """QEC params compose only with the relevancy sort and never with
+    cursorMark; excludeIds alone works under any sort."""
+    from lucene_solr_spark.operators.select import solr_select
+
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "spark", "elevateIds": "7",
+                          "sort": "path asc"})
+    with pytest.raises(ValueError):
+        solr_select(idx, {"q": "spark", "elevateIds": "7",
+                          "cursorMark": "*"})
+    # excludeIds under a field sort: excluded doc vanishes, sort holds
+    base = solr_select(idx, {"q": "spark", "sort": "path desc",
+                             "rows": 3}).docs.collect()
+    excl = solr_select(idx, {"q": "spark", "sort": "path desc", "rows": 3,
+                             "excludeIds": str(base[0]["doc_id"])})
+    got = [r["doc_id"] for r in excl.docs.collect()]
+    assert base[0]["doc_id"] not in got
+    assert got[0] == base[1]["doc_id"]

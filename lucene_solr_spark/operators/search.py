@@ -1211,12 +1211,15 @@ class IndexReader:
         (collation, hits) — per-term work is a pushdown-pruned
         dictionary probe plus the bounded suggest scan; only the final
         1-row verification query touches postings."""
+        terms = [t.lower() for t in query_terms]
+        # ONE pushdown-pruned (and LRU-memoized) df agg answers the
+        # dictionary-presence probe for every query term — not a scan
+        # per term (the suggest path below still runs only for the
+        # absent ones)
+        dfs = self.global_dfs(terms)
         corrected = []
-        for t in query_terms:
-            t = t.lower()
-            present = (self.postings.filter(F.col("term") == t)
-                       .limit(1).count() > 0)
-            if present:
+        for t in terms:
+            if dfs.get(t, 0) > 0:
                 corrected.append(t)
                 continue
             sugg = self.suggest_similar(t, max_edits=max_edits, n=1).collect()

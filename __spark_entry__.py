@@ -922,6 +922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ltr_rerank_topk"] = lambda s, sf: ltr.ltr_rerank_bm25(
         _index_for(s, sf, analyzer="simple"), "content:spark",
         {"bm25": 0.7, "log_dl": 0.1, "recency": 0.2})
+    # MultipleAdditiveTreesModel: the ensemble compiles to nested CASE
+    # WHEN Columns (whole-stage codegen, no UDF); the oracle SQL is
+    # generated from the SAME model dict (ltr.tree_node_sql)
+    q["ltr_trees_topk"] = lambda s, sf: ltr.ltr_trees_rerank_bm25(
+        _index_for(s, sf, analyzer="simple"), "content:spark",
+        _LTR_TREES)
 
     # {!rerank}: main-query top-30 window rescored as
     # main + 2.0 * rerankScore (float32 QueryRescorer combine)
@@ -1748,6 +1754,58 @@ _WINDOW_ORDER = [
 ]
 
 
+#: MultipleAdditiveTreesModel fixture (`[U] solr/contrib/ltr/.../model/
+#: MultipleAdditiveTreesModel.java`): thresholds sit on features that
+#: are bit-identical across engines (bm25 is the shared float32 value,
+#: recency an exact double division, and ln(1+dl)=4.0 can never equal
+#: an integer-dl feature exactly), so branch decisions cannot flip.
+_LTR_TREES = [
+    {"weight": 0.6, "root": {
+        "feature": "bm25", "threshold": 0.05,
+        "left": {"value": 0.1},
+        "right": {"feature": "recency", "threshold": 5.0,
+                  "left": {"value": 0.4}, "right": {"value": 0.9}}}},
+    {"weight": 0.3, "root": {
+        "feature": "recency", "threshold": 1.0,
+        "left": {"feature": "bm25", "threshold": 0.08,
+                 "left": {"value": 0.0}, "right": {"value": 0.5}},
+        "right": {"value": 0.7}}},
+    {"weight": 0.1, "root": {
+        "feature": "log_dl", "threshold": 4.0,
+        "left": {"value": 0.2}, "right": {"value": 0.6}}},
+]
+
+
+def _ltr_trees_sql(term: str, trees, k: int = 10, cand: int = 50) -> str:
+    """Tree-ensemble LTR oracle: same candidates/features as _ltr_sql;
+    the ensemble CASE expression is generated from the SAME model dict
+    the engine compiles (ltr.tree_node_sql), accumulated
+    left-associatively in model order like trees_rerank."""
+    from lucene_solr_spark.operators.ltr import tree_node_sql
+
+    prelude = _BM25_PRELUDE.format(ranges=_byte4_ranges(), chain="tk0",
+                                   dl="len(tk)",
+                                   src="SELECT doc_id, text FROM documents")
+    ctes = _bm25_term_ctes(0, term, 1.0)
+    terms_sql = [f"({float(t['weight'])!r} * ({tree_node_sql(t['root'])}))"
+                 for t in trees]
+    model = terms_sql[0]
+    for ts in terms_sql[1:]:
+        model = f"({model} + {ts})"
+    return f"""{prelude}{ctes},
+    cand AS (
+      SELECT doc_id, sc, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS r
+      FROM s0),
+    feats AS (
+      SELECT c.doc_id, CAST(c.sc AS DOUBLE) AS bm25,
+             ln(1.0 + len(t.tk)) AS log_dl,
+             1000.0 / (c.doc_id + 10.0) AS recency
+      FROM cand c JOIN toks t ON t.doc_id = c.doc_id
+      WHERE c.r <= {cand})
+    SELECT doc_id, ROUND({model}, 4) AS ltr_score_r, ROUND(bm25, 4) AS bm25_r
+    FROM feats ORDER BY {model} DESC, doc_id LIMIT {k}"""
+
+
 def _ltr_sql(term: str, w1: float, w2: float, w3: float,
              k: int = 10, cand: int = 50) -> str:
     """LTR oracle: float32 BM25 candidates (top-``cand``), features in
@@ -2449,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
         "ltr_rerank_topk": _ltr_sql("spark", 0.7, 0.1, 0.2),
+        "ltr_trees_topk": _ltr_trees_sql("spark", _LTR_TREES),
         "rerank_window_topk": _rerank_sql(
             [("spark", 1.0), ("merge", 1.0)], "vector",
             rerank_docs=30, weight=2.0, k=10),

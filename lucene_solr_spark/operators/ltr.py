@@ -21,7 +21,8 @@ from typing import Dict
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["linear_rerank", "ltr_rerank_bm25"]
+__all__ = ["linear_rerank", "ltr_rerank_bm25", "tree_node_column",
+           "trees_rerank", "ltr_trees_rerank_bm25"]
 
 
 def linear_rerank(candidates: DataFrame, features: Dict[str, Column],
@@ -60,6 +61,70 @@ def ltr_rerank_bm25(reader, query: str, weights: Dict[str, float],
         "recency": F.lit(1000.0) / (F.col("doc_id") + F.lit(10.0)),
     }
     return linear_rerank(cand, feats, weights, k=k).select(
+        "doc_id", F.round("ltr_score", 4).alias("ltr_score_r"),
+        F.round("bm25", 4).alias("bm25_r"),
+    )
+
+
+def tree_node_column(node: Dict) -> Column:
+    """One regression-tree node -> a Catalyst Column
+    (`[U] solr/contrib/ltr/.../model/MultipleAdditiveTreesModel.java ::
+    RegressionTreeNode.score`): a leaf is its ``value``; a branch tests
+    ``feature < threshold`` and descends left, else right. The whole
+    tree compiles to nested CASE WHEN expressions — JVM whole-stage
+    codegen, no Python in the scoring path, and the same dict compiles
+    the DuckDB oracle SQL (shared-generator lockstep)."""
+    if "value" in node:
+        return F.lit(float(node["value"]))
+    return F.when(
+        F.col(node["feature"]) < F.lit(float(node["threshold"])),
+        tree_node_column(node["left"]),
+    ).otherwise(tree_node_column(node["right"]))
+
+
+def tree_node_sql(node: Dict) -> str:
+    """The SAME node rendered as DuckDB SQL — generated from the one
+    model dict so engine and oracle cannot drift."""
+    if "value" in node:
+        return repr(float(node["value"]))
+    return (f"CASE WHEN {node['feature']} < {float(node['threshold'])!r} "
+            f"THEN {tree_node_sql(node['left'])} "
+            f"ELSE {tree_node_sql(node['right'])} END")
+
+
+def trees_rerank(candidates: DataFrame, features: Dict[str, Column],
+                 trees, k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """MultipleAdditiveTreesModel re-rank: score = sum over trees of
+    weight * tree(features), accumulated left-associatively in model
+    order (double), ties by id. Same scale shape as linear_rerank —
+    features join onto the bounded candidate set, the ensemble is one
+    codegen'd expression, TakeOrderedAndProject finishes."""
+    out = candidates
+    for name, col in features.items():
+        out = out.withColumn(name, col.cast("double"))
+    score = None
+    for t in trees:
+        term = F.lit(float(t["weight"])) * tree_node_column(t["root"])
+        score = term if score is None else score + term
+    return (
+        out.withColumn("ltr_score", score)
+        .orderBy(F.desc("ltr_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ltr_trees_rerank_bm25(reader, query: str, trees, k: int = 10,
+                          candidates: int = 50) -> DataFrame:
+    """Tree-ensemble LTR pipeline over the same feature set as
+    ltr_rerank_bm25 (bm25, log_dl, recency)."""
+    cand = reader.search(query, k=candidates)
+    cand = cand.join(reader.docmeta.select("doc_id", "dl"), "doc_id")
+    feats = {
+        "bm25": F.col("score").cast("double"),
+        "log_dl": F.log(F.lit(1.0) + F.col("dl")),
+        "recency": F.lit(1000.0) / (F.col("doc_id") + F.lit(10.0)),
+    }
+    return trees_rerank(cand, feats, trees, k=k).select(
         "doc_id", F.round("ltr_score", 4).alias("ltr_score_r"),
         F.round("bm25", 4).alias("bm25_r"),
     )

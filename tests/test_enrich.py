@@ -265,3 +265,39 @@ def test_update_processor_chain(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         apply_update_processors(df, [{"nope": []}])
+
+
+def test_ltr_tree_ensemble_rerank(spark):
+    """MultipleAdditiveTreesModel: nested CASE WHEN Columns (no Python
+    in the scoring path), left-associative weighted sum, exact scores
+    verified against a hand-evaluated model."""
+    from lucene_solr_spark.operators.ltr import (tree_node_column,
+                                                 tree_node_sql,
+                                                 trees_rerank)
+
+    trees = [
+        {"weight": 2.0, "root": {
+            "feature": "f1", "threshold": 5.0,
+            "left": {"value": 1.0},
+            "right": {"feature": "f2", "threshold": 0.5,
+                      "left": {"value": 2.0}, "right": {"value": 3.0}}}},
+        {"weight": 0.5, "root": {"value": 4.0}},
+    ]
+    df = spark.createDataFrame(
+        [(1, 3.0, 0.9), (2, 7.0, 0.1), (3, 9.0, 0.8)],
+        "doc_id long, f1 double, f2 double")
+    got = {r["doc_id"]: r["ltr_score"] for r in trees_rerank(
+        df, {"f1": __import__("pyspark.sql.functions", fromlist=["col"]).col("f1"),
+             "f2": __import__("pyspark.sql.functions", fromlist=["col"]).col("f2")},
+        trees, k=3).collect()}
+    # doc1: f1<5 -> 1.0;          2*1.0 + 0.5*4 = 4.0
+    # doc2: f1>=5, f2<0.5 -> 2.0; 2*2.0 + 0.5*4 = 6.0
+    # doc3: f1>=5, f2>=0.5 -> 3.0; 2*3.0 + 0.5*4 = 8.0
+    assert got == {1: 4.0, 2: 6.0, 3: 8.0}
+    # the SQL renderer agrees with the Column compiler leaf-for-leaf
+    sql = tree_node_sql(trees[0]["root"])
+    assert "CASE WHEN f1 < 5.0" in sql and "ELSE 3.0 END" in sql
+    # scoring plan stays JVM-side: no Python evaluation operators
+    plan = trees_rerank(
+        df, {}, trees, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -1318,6 +1318,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"q": "spark OR merge OR vector", "fq": "join",
          "facet.field": "lang"},
     ).facets["lang"]
+    # multi-select faceting ({!tag}/{!ex} filter exclusion): the lang
+    # facet LIFTS the tagged lang:en fq (its counts span all langs —
+    # without the exclusion the facet would be the single 'en' row)
+    # while the match set itself still honors both fqs
+    q["solr_select_facet_ex"] = lambda s, sf: sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": "spark OR merge OR vector",
+         "fq": ["{!tag=LANGF}lang:en", "join"],
+         "facet.field": "{!ex=LANGF}lang"},
+    ).facets["lang"]
     # full request lifecycle through the facade (VERDICT r3 next #5):
     # defType=edismax routing + fq docSet + facet + cursorMark paging —
     # page 1 is fetched only for its cursor; the graded output is PAGE
@@ -2635,6 +2645,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d USING (doc_id)
         """,
         "solr_select_facet": f"""
+            WITH raw AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            m AS (SELECT doc_id, lang FROM raw
+                  WHERE len(list_filter(tk, t -> t IN ('spark','merge','vector'))) > 0
+                    AND len(list_filter(tk, t -> t = 'join')) > 0)
+            SELECT lang, COUNT(*) AS cnt FROM m
+            GROUP BY lang HAVING COUNT(*) >= 1
+            ORDER BY cnt DESC, lang LIMIT 100
+        """,
+        # {!ex=LANGF} lifts the tagged lang:en fq from the facet
+        # domain, so the oracle is the q + untagged-fq count per lang
+        "solr_select_facet_ex": """
             WITH raw AS (
               SELECT doc_id, lang,
                      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),

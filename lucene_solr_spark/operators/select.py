@@ -138,15 +138,6 @@ def _fq_ids(idx, fq: str) -> DataFrame:
         parse_query(fq, analyzer=idx.manifest.analyzer)).select("doc_id")
 
 
-def _match_set(idx, q: str, fqs: Sequence[str],
-               default_op: str = "OR") -> DataFrame:
-    scored = idx.score_all(parse_query(q, analyzer=idx.manifest.analyzer,
-                                       default_op=default_op))
-    for fq in fqs:
-        scored = scored.join(_fq_ids(idx, fq), "doc_id", "left_semi")
-    return scored
-
-
 def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
                 source: Optional[DataFrame] = None) -> SelectResponse:
     """Execute a Solr-style parameter map against an IndexReader.
@@ -173,6 +164,15 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     fqs = params.get("fq", [])
     if isinstance(fqs, str):
         fqs = [fqs]
+    # multi-select faceting: an fq may carry a {!tag=NAME} prefix so a
+    # facet can later exclude it with {!ex=NAME} (`[U] solr/core/.../
+    # request/SimpleFacets.java` excludeTags / tagged-filter exclusion)
+    import re as _re
+
+    fq_specs = []
+    for f in fqs:
+        m = _re.match(r"^\{!tag=([\w,]+)\}(.*)$", f)
+        fq_specs.append((m.group(1), m.group(2)) if m else (None, f))
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
     sort = params.get("sort", "score desc")
@@ -183,15 +183,20 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
 
         if not readers:
             raise ValueError("defType=edismax needs the per-field readers map")
-        matches = edismax_score_all(
+        base_scored = edismax_score_all(
             readers, params["qf"], q,
             tiebreak=float(params.get("tie", 0.0)),
             mm=int(params.get("mm", 1)))
-        for fq in fqs:
-            matches = matches.join(_fq_ids(idx, fq), "doc_id", "left_semi")
     else:
-        matches = _match_set(idx, q, fqs,
-                             default_op=str(params.get("q.op", "OR")))
+        base_scored = idx.score_all(
+            parse_query(q, analyzer=idx.manifest.analyzer,
+                        default_op=str(params.get("q.op", "OR"))))
+    # each fq's doc-id set is built ONCE and reused by both the match
+    # set and any facet domain that keeps it (id-only semi-joins)
+    fq_sets = [(tag, _fq_ids(idx, f)) for tag, f in fq_specs]
+    matches = base_scored
+    for _, ids in fq_sets:
+        matches = matches.join(ids, "doc_id", "left_semi")
 
     if boost_fn is not None:
         from ..functions.funcparser import (function_query_fields,
@@ -328,9 +333,22 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
     if isinstance(ffields, str):
         ffields = [ffields]
     for ff in ffields:
-        joined = matches.select("doc_id").join(
-            idx.docmeta.select("doc_id", ff), "doc_id", "left")
-        facets[ff] = sx.facet_field(joined, ff)
+        # {!ex=TAG[,TAG2]}field: this facet's domain drops the fqs
+        # carrying those tags (multi-select faceting — counts show
+        # what the result WOULD be if the user lifted that filter)
+        m = _re.match(r"^\{!ex=([\w,]+)\}(.*)$", ff)
+        if m:
+            ex_tags = set(m.group(1).split(","))
+            fld = m.group(2)
+            dom = base_scored.select("doc_id")
+            for tag, ids in fq_sets:
+                if tag is None or tag not in ex_tags:
+                    dom = dom.join(ids, "doc_id", "left_semi")
+        else:
+            fld = ff
+            dom = matches.select("doc_id")
+        joined = dom.join(idx.docmeta.select("doc_id", fld), "doc_id", "left")
+        facets[fld] = sx.facet_field(joined, fld)
 
     highlighting = None
     hfl = params.get("hl.fl")

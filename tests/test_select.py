@@ -307,3 +307,30 @@ def test_elevation_facade_guards(idx):
     got = [r["doc_id"] for r in excl.docs.collect()]
     assert base[0]["doc_id"] not in got
     assert got[0] == base[1]["doc_id"]
+
+
+def test_multiselect_facet_tag_exclusion(idx):
+    """{!tag}/{!ex}: the excluded facet's domain lifts the tagged fq
+    (counts span all langs) while untagged facets and the match set
+    still honor every fq (Solr SimpleFacets excludeTags)."""
+    from lucene_solr_spark.operators.select import solr_select
+
+    r = solr_select(idx, {
+        "q": "spark OR merge", "fq": ["{!tag=LF}lang:en", "join"],
+        "facet.field": ["{!ex=LF}lang", "lang"], "rows": 5,
+        "fl": ["lang"]})
+    # NOTE: both facet specs resolve to field 'lang'; dict keying means
+    # the later (non-excluded) spec wins — so assert via separate calls
+    rx = solr_select(idx, {
+        "q": "spark OR merge", "fq": ["{!tag=LF}lang:en", "join"],
+        "facet.field": "{!ex=LF}lang"})
+    rn = solr_select(idx, {
+        "q": "spark OR merge", "fq": ["{!tag=LF}lang:en", "join"],
+        "facet.field": "lang"})
+    ex_counts = {x["lang"]: x["cnt"] for x in rx.facets["lang"].collect()}
+    in_counts = {x["lang"]: x["cnt"] for x in rn.facets["lang"].collect()}
+    assert set(in_counts) == {"en"}          # fq respected
+    assert len(ex_counts) > 1                # fq lifted for this facet
+    assert ex_counts["en"] == in_counts["en"]  # same en count either way
+    # the PAGE always honors every fq, exclusion affects facets only
+    assert all(x["lang"] == "en" for x in r.docs.collect())

@@ -917,6 +917,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          tiebreak=0.1, mm=1)
         .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
+    # edismax bq (ADDITIVE boost query — rides the main boolean as a
+    # SHOULD clause; boosts matching docs, admits no new ones)
+    q["edismax_bq_topk"] = lambda s, sf: _rank_topk(
+        ed.edismax_pf_bf(_edismax_readers(s, sf), "content^2 path_text",
+                         "spark merge", bq="vector^1.5",
+                         bq_field="content", tiebreak=0.1, mm=1)
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
     # ---- LTR re-rank (SURVEY §2.13 solr/contrib/ltr LinearModel):
     # BM25 first pass -> feature extraction -> linear model re-sort
     q["ltr_rerank_topk"] = lambda s, sf: ltr.ltr_rerank_bm25(
@@ -2008,6 +2016,73 @@ def _edismax_sql(clauses, qf, tie: float, mm: int, k: int = 10) -> str:
     """
 
 
+def _edismax_bq_sql(clauses, qf, tie: float, mm: int,
+                    bq_term: str, bq_boost: float, bq_field: str = "content",
+                    k: int = 10) -> str:
+    """edismax + bq oracle: the _edismax_sql per-field float32 CTEs,
+    plus the additive boost-query score (float32 BM25 of ``bq_term``
+    on ``bq_field``, boost folded into the weight like the engine's
+    term_weight) left-joined and added in double — main + bq, the
+    engine's combine order."""
+    field_tok = {
+        "content": ("list_filter(regexp_split_to_array(lower(text), "
+                    "'[^a-z0-9_]+'), t -> t != '')"),
+        "path_text": "['docs', CAST(doc_id AS VARCHAR), 'txt']",
+    }
+    parts = [f"nq(lo, hi) AS (VALUES {_byte4_ranges()})"]
+    for f in qf:
+        expr = field_tok[f]
+        parts.append(f"tk_{f} AS (SELECT doc_id, {expr} AS tk FROM documents)")
+        parts.append(f"st_{f} AS (SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS sum_dl FROM tk_{f})")
+        parts.append(
+            f"ca_{f} AS (SELECT t.doc_id, t.tk, CAST(1.2 * (0.25 + 0.75 * nq.lo /"
+            f" (SELECT CAST(sum_dl AS DOUBLE) / n_docs FROM st_{f})) AS REAL) AS c"
+            f" FROM tk_{f} t JOIN nq ON len(t.tk) >= nq.lo AND len(t.tk) < nq.hi)")
+    clause_sqls = []
+    for ci, term in enumerate(clauses):
+        sides = []
+        for f, boost in qf.items():
+            tag = f"{ci}_{f}"
+            idf = (f"ln(1 + ((SELECT n_docs FROM st_{f}) - (SELECT df FROM d{tag}) + 0.5)"
+                   f" / ((SELECT df FROM d{tag}) + 0.5))")
+            parts.append(
+                f"m{tag} AS (SELECT doc_id, c, len(list_filter(tk, x -> x = '{term}')) AS tf FROM ca_{f})")
+            parts.append(f"d{tag} AS (SELECT COUNT(*) AS df FROM m{tag} WHERE tf > 0)")
+            parts.append(
+                f"s{tag} AS (SELECT doc_id, CAST({boost!r} * {idf} AS REAL)"
+                f" * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc"
+                f" FROM m{tag} WHERE tf > 0)")
+            sides.append(f"SELECT doc_id, CAST(sc AS DOUBLE) AS sd FROM s{tag}")
+        union = " UNION ALL ".join(sides)
+        parts.append(
+            f"c{ci} AS (SELECT doc_id, mx + {tie!r} * (tot - mx) AS cs, {ci} AS clause"
+            f" FROM (SELECT doc_id, MAX(sd) AS mx, SUM(sd) AS tot FROM ({union}) GROUP BY doc_id))")
+        clause_sqls.append(f"SELECT * FROM c{ci}")
+    allc = " UNION ALL ".join(clause_sqls)
+    bq_idf = (f"ln(1 + ((SELECT n_docs FROM st_{bq_field}) - (SELECT df FROM dbq) + 0.5)"
+              f" / ((SELECT df FROM dbq) + 0.5))")
+    parts.append(
+        f"mbq AS (SELECT doc_id, c, len(list_filter(tk, x -> x = '{bq_term}')) AS tf FROM ca_{bq_field})")
+    parts.append("dbq AS (SELECT COUNT(*) AS df FROM mbq WHERE tf > 0)")
+    parts.append(
+        f"sbq AS (SELECT doc_id, CAST({bq_boost!r} * {bq_idf} AS REAL)"
+        f" * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc"
+        f" FROM mbq WHERE tf > 0)")
+    return f"""
+        WITH {', '.join(parts)}
+        SELECT rank, doc_id, score_r FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+                 ROUND(score, 4) AS score_r
+          FROM (SELECT m.doc_id,
+                       m.score + COALESCE(CAST(sbq.sc AS DOUBLE), 0.0) AS score
+                FROM (SELECT doc_id, SUM(cs) AS score, COUNT(DISTINCT clause) AS nc
+                      FROM ({allc}) GROUP BY doc_id) m
+                LEFT JOIN sbq ON sbq.doc_id = m.doc_id
+                WHERE m.nc >= {mm})
+        ) WHERE rank <= {k} ORDER BY rank
+    """
+
+
 def _edismax_pf_bf_sql(clauses, qf, tie: float, mm: int,
                        pf_field: str, pf_boost: float, bf_sql: str,
                        k: int = 10) -> str:
@@ -2527,6 +2602,9 @@ def oracle_sql() -> dict[str, str]:
         "edismax_mm_topk": _edismax_sql(
             ["spark", "merge", "txt"], {"content": 2.0, "path_text": 1.0},
             tie=0.3, mm=2),
+        "edismax_bq_topk": _edismax_bq_sql(
+            ["spark", "merge"], {"content": 2.0, "path_text": 1.0},
+            tie=0.1, mm=1, bq_term="vector", bq_boost=1.5),
         "edismax_pf_bf_topk": _edismax_pf_bf_sql(
             ["spark", "merge"], {"content": 2.0, "path_text": 1.0},
             tie=0.1, mm=1, pf_field="content", pf_boost=1.5,

@@ -138,6 +138,8 @@ def edismax_pf_bf(readers: Dict[str, IndexReader],
                   pf: str | Dict[str, float] | None = None,
                   bf: str | None = None,
                   bf_source: DataFrame | None = None,
+                  bq: str | None = None,
+                  bq_field: str | None = None,
                   tiebreak: float = 0.0, mm: int = 1) -> DataFrame:
     """edismax with phrase-field and boost-function additions (`[U]
     solr/core/.../search/ExtendedDismaxQParser.java` pf/bf params).
@@ -152,9 +154,14 @@ def edismax_pf_bf(readers: Dict[str, IndexReader],
       multiplicative): parsed by functions.funcparser over
       ``bf_source`` (doc_id + stored fields), evaluated as a plain
       Column so the whole addition stays codegen'd.
+    * ``bq`` — an ADDITIVE boost QUERY (Solr bq: parsed like q, its
+      scores ride the main BooleanQuery as a SHOULD clause — boosts
+      matching docs, never admits new ones — hence the left join).
+      Scored against ``bq_field``'s reader (default: qf's first).
 
-    Combine order (all double): main + pf_dismax + bf — each component
-    keyed by doc_id, id/score-only joins. Returns (doc_id, score).
+    Combine order (all double): ((main + pf_dismax) + bf) + bq — each
+    component keyed by doc_id, id/score-only joins.
+    Returns (doc_id, score).
     """
     from ..plans.query import PhraseQuery
 
@@ -197,6 +204,19 @@ def edismax_pf_bf(readers: Dict[str, IndexReader],
         score = (score.join(vals, "doc_id", "left")
                  .select("doc_id",
                          (F.col("score") + F.coalesce(F.col("bfv"),
+                                                      F.lit(0.0)))
+                         .alias("score")))
+    if bq:
+        from ..plans.query import parse_query
+
+        boosts = parse_qf(qf) if isinstance(qf, str) else dict(qf)
+        rdr = readers[bq_field or next(iter(boosts))]
+        bqs = rdr.score_all(
+            parse_query(bq, analyzer=rdr.manifest.analyzer)).select(
+                "doc_id", F.col("score").cast("double").alias("bqv"))
+        score = (score.join(bqs, "doc_id", "left")
+                 .select("doc_id",
+                         (F.col("score") + F.coalesce(F.col("bqv"),
                                                       F.lit(0.0)))
                          .alias("score")))
     return score

@@ -129,6 +129,12 @@ def _bm25(spark, sf, qtext, k=10):
     return _rank_topk(idx.search(qtext, k=k))
 
 
+def _mpq(slots):
+    from lucene_solr_spark.plans.query import MultiPhraseQuery
+
+    return MultiPhraseQuery(tuple(tuple(s) for s in slots))
+
+
 def _bm25_simple(spark, sf, qtext, k=10):
     """BM25 over the 'simple'-analyzer index — the DuckDB-oracled
     Tier-0 path (VERDICT r1 #1): the simple tokenizer is expressible as
@@ -674,6 +680,38 @@ def _bm25_sql_phrase(terms, k: int = 10, boost: float = 1.0, chain: str = "tk0",
             + _bm25_rank_tail(scored, k))
 
 
+def _bm25_sql_multiphrase(slots, k: int = 10, boost: float = 1.0,
+                          chain: str = "tk0", dl: str = "len(tk)",
+                          src_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """MultiPhraseQuery oracle: weight = float32(boost * Σ idf) over
+    EVERY alternative in slot order (MultiPhraseWeight allTermStats);
+    tf = anchors where each slot position matches ONE of its
+    alternatives (tk[i+j] IN (...))."""
+    flat = [t for slot in slots for t in slot]
+    distinct = list(dict.fromkeys(flat))
+    ctes = "".join(_bm25_term_ctes(i, t, 1.0) for i, t in enumerate(distinct))
+    pos = {t: i for i, t in enumerate(distinct)}
+    idf_of = {t: (f"ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM d{pos[t]}) + 0.5)"
+                  f" / ((SELECT df FROM d{pos[t]}) + 0.5))") for t in distinct}
+    idf_sum = " + ".join(idf_of[t] for t in flat)
+    conds = " AND ".join(
+        ("tk[i+{j}]".format(j=j) if j else "tk[i]")
+        + " IN (" + ", ".join(f"'{t}'" for t in slot) + ")"
+        for j, slot in enumerate(slots))
+    n = len(slots)
+    hi = "len(tk)" if n == 2 else f"len(tk) - {n - 2}"
+    scored = f"""SELECT doc_id,
+             CAST({boost!r} * ({idf_sum}) AS REAL)
+             * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc
+      FROM (SELECT doc_id, c,
+                   len([i FOR i IN range(1, {hi}) IF {conds}]) AS tf
+            FROM cache)
+      WHERE tf > 0"""
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain,
+                                 src=src_sql, dl=dl) + ctes
+            + _bm25_rank_tail(scored, k))
+
+
 def _bm25_sql_spanfirst(term: str, end: int, k: int = 10, chain: str = "tk0", dl: str = "len(tk)",
                         src_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """SpanFirst oracle: tf counts only 1-based token indices <= end
@@ -1048,6 +1086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_pure_negative"] = lambda s, sf: _bm25(
         s, sf, "NOT spark NOT merge")
     q["bm25_phrase_topk"] = lambda s, sf: _bm25(s, sf, '"batch batch"')
+    # MultiPhraseQuery: slot 0 admits batch OR big (query-time synonym
+    # phrase), slot 1 is batch — matches "batch batch" and "big batch"
+    q["bm25_multiphrase_topk"] = lambda s, sf: _bm25(
+        s, sf, _mpq((("batch", "big"), ("batch",))))
     q["bm25_prefix_topk"] = lambda s, sf: _bm25(s, sf, "spar*")
     q["bm25_wildcard_topk"] = lambda s, sf: _bm25(s, sf, "w?ndow")
     q["bm25_fuzzy_topk"] = lambda s, sf: _bm25(s, sf, "spark~1")
@@ -3155,6 +3197,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10 ORDER BY rank
         """,
         "bm25_phrase_topk": _bm25_sql_phrase(["batch", "batch"]),
+        "bm25_multiphrase_topk": _bm25_sql_multiphrase(
+            [("batch", "big"), ("batch",)]),
         "bm25_prefix_topk": _bm25_sql_constant("t LIKE 'spar%'"),
         "bm25_wildcard_topk": _bm25_sql_constant("regexp_full_match(t, 'w.ndow')"),
         "bm25_range_topk": _bm25_sql_constant("t >= 'spark' AND t <= 'spars'"),

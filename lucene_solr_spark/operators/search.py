@@ -53,6 +53,7 @@ from ..plans.query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     PhraseQuery,
     Query,
@@ -255,6 +256,8 @@ class _SegmentScorer:
             return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
         if isinstance(q, PhraseQuery):
             return self._eval_phrase(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._eval_multiphrase(q)
         if isinstance(q, SpanFirstQuery):
             return self._eval_spanfirst(q)
         if isinstance(q, BooleanQuery):
@@ -312,6 +315,64 @@ class _SegmentScorer:
                 freqs[ci] = int(ok.sum())
         hit = freqs > 0
         w = self.phrase_weights[q.terms]
+        return cand[hit], self.score_fn(w, freqs[hit], norms[hit], self.cache)
+
+    def _eval_multiphrase(self, q) -> Tuple[np.ndarray, np.ndarray]:
+        """MultiPhraseQuery (exact adjacency): per slot, the doc set is
+        the UNION of its alternatives' postings and the position set
+        their merged sorted positions (Lucene's UnionPostingsEnum);
+        candidates intersect the slot doc-unions, tf counts anchors
+        where every slot matches one alternative."""
+        slot_tps = []
+        for slot in q.slots:
+            tps = [self.terms[t] for t in slot if t in self.terms]
+            if not tps:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            slot_tps.append(tps)
+
+        def slot_docs(tps):
+            if len(tps) == 1:
+                return tps[0].docs
+            return np.unique(np.concatenate([tp.docs for tp in tps]))
+
+        cand = slot_docs(slot_tps[0])
+        for tps in slot_tps[1:]:
+            cand = cand[np.isin(cand, slot_docs(tps))]
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+        # two-phase: positions decoded only for candidate docs
+        pos_maps = []
+        for tps in slot_tps:
+            decoded = [(tp, tp.positions()) for tp in tps]
+            per_doc = []
+            for d in cand:
+                acc = []
+                for tp, plist in decoded:
+                    j = int(np.searchsorted(tp.docs, d))
+                    if j < len(tp.docs) and tp.docs[j] == d:
+                        acc.append(np.asarray(plist[j]))
+                per_doc.append(acc[0] if len(acc) == 1
+                               else np.unique(np.concatenate(acc)))
+            pos_maps.append(per_doc)
+        norms = np.empty(len(cand), dtype=np.int64)
+        for ci, d in enumerate(cand):
+            for tp in slot_tps[0]:
+                j = int(np.searchsorted(tp.docs, d))
+                if j < len(tp.docs) and tp.docs[j] == d:
+                    norms[ci] = tp.norms[j]
+                    break
+        freqs = np.zeros(len(cand), dtype=np.int64)
+        for ci in range(len(cand)):
+            first = pos_maps[0][ci]
+            ok = np.ones(len(first), dtype=bool)
+            for off, pm in enumerate(pos_maps[1:], start=1):
+                ok &= np.isin(first + off, pm[ci], assume_unique=True)
+                if not ok.any():
+                    break
+            freqs[ci] = int(ok.sum())
+        hit = freqs > 0
+        w = self.phrase_weights[("__mp__",) + tuple(
+            t for slot in q.slots for t in slot)]
         return cand[hit], self.score_fn(w, freqs[hit], norms[hit], self.cache)
 
     def _eval_dismax(self, q: DisjunctionMaxQuery) -> Tuple[np.ndarray, np.ndarray]:
@@ -690,6 +751,24 @@ class IndexReader:
                     if classic_k1p1:
                         w *= K1 + 1.0
                     phrase_weights[node.terms] = np.float32(w)
+            elif isinstance(node, MultiPhraseQuery):
+                flat = tuple(t for slot in node.slots for t in slot)
+                # MultiPhraseWeight: idf summed over EVERY alternative
+                # (allTermStats), boost folded like PhraseQuery
+                if self.similarity == "classic":
+                    from ..functions.tfidf import classic_phrase_weight
+
+                    phrase_weights[("__mp__",) + flat] = \
+                        classic_phrase_weight(
+                            [dfs.get(t, 0) for t in flat],
+                            self.doc_count, node.boost)
+                else:
+                    w = node.boost * sum(
+                        idf_fn(dfs.get(t, 0), self.doc_count)
+                        for t in flat)
+                    if classic_k1p1:
+                        w *= K1 + 1.0
+                    phrase_weights[("__mp__",) + flat] = np.float32(w)
             elif isinstance(node, BooleanQuery):
                 for c in node.should + node.must + node.must_not:
                     walk(c)

@@ -40,6 +40,7 @@ __all__ = [
     "ConstantScoreQuery",
     "DisjunctionMaxQuery",
     "MultiTermQuery",
+    "MultiPhraseQuery",
     "SpanFirstQuery",
     "parse_query",
     "rewrite",
@@ -69,6 +70,23 @@ class PhraseQuery:
     field: str = DEFAULT_FIELD
     boost: float = 1.0
     slop: int = 0
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Exact phrase where each position admits ALTERNATIVE terms
+    (`[U] lucene/core/.../search/MultiPhraseQuery.java` — the query
+    behind query-time synonym-expanded phrases). ``slots`` is one
+    tuple of alternatives per phrase position; the weight is
+    boost * Σ idf over EVERY alternative in slot order (Lucene's
+    MultiPhraseWeight collects allTermStats), tf counts anchor
+    positions where every slot matches one of its alternatives.
+    Slop > 0 is not modeled (Lucene's UnionPostingsEnum sloppy case) —
+    exact adjacency only, the dominant synonym-phrase shape."""
+
+    slots: Tuple[Tuple[str, ...], ...]
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -147,8 +165,9 @@ class MultiTermQuery:
     include_hi: bool = True
 
 
-Query = Union[TermQuery, PhraseQuery, BooleanQuery, MatchAllQuery,
-              ConstantScoreQuery, MultiTermQuery, DisjunctionMaxQuery]
+Query = Union[TermQuery, PhraseQuery, MultiPhraseQuery, BooleanQuery,
+              MatchAllQuery, ConstantScoreQuery, MultiTermQuery,
+              DisjunctionMaxQuery]
 
 
 # ------------------------------------------------- multi-term expansion
@@ -653,6 +672,9 @@ def query_terms(q: Query) -> List[Tuple[str, str]]:
             out.append((node.field, node.term))
         elif isinstance(node, PhraseQuery):
             out.extend((node.field, t) for t in node.terms)
+        elif isinstance(node, MultiPhraseQuery):
+            out.extend((node.field, t)
+                       for slot in node.slots for t in slot)
         elif isinstance(node, ConstantScoreQuery):
             walk(node.query)
         elif isinstance(node, DisjunctionMaxQuery):

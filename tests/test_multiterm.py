@@ -302,3 +302,37 @@ def test_fuzzy_expansion_capped_top_terms_by_df(spark, tmp_path):
     leaf_terms = sorted(c.term for c in rw.should)
     assert leaf_terms == neighbors[-5:]
     assert all(isinstance(c, TermQuery) for c in rw.should)
+
+
+def test_multiphrase_union_semantics(spark, tmp_path):
+    """MultiPhraseQuery: per-slot alternatives union their postings
+    (UnionPostingsEnum); a degenerate one-alternative-per-slot query
+    matches exactly the docs of the plain phrase, and the synonym slot
+    admits both variants."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+    from lucene_solr_spark.plans.query import MultiPhraseQuery, PhraseQuery
+
+    docs = [(0, "batch batch merge"), (1, "big batch merge"),
+            (2, "batch big merge"), (3, "merge batch"), (4, "big big")]
+    df = spark.createDataFrame(
+        [(i, t, "r", f"p/{i}", "c", "en") for i, t in docs],
+        "doc_id long, content string, repo string, path string, "
+        "commit string, lang string")
+    d = str(tmp_path / "mp")
+    build_index(spark, df, d, docs_per_seg=2)
+    idx = IndexReader(spark, d)
+
+    mp = MultiPhraseQuery((("batch", "big"), ("batch",)))
+    got = sorted(r["doc_id"] for r in idx.search(mp, k=10).collect())
+    assert got == [0, 1]                      # "batch batch", "big batch"
+    # degenerate: single alternative per slot == plain phrase doc set
+    mp1 = MultiPhraseQuery((("batch",), ("batch",)))
+    ph = PhraseQuery(("batch", "batch"))
+    got_mp = {(r["doc_id"]) for r in idx.search(mp1, k=10).collect()}
+    got_ph = {(r["doc_id"]) for r in idx.search(ph, k=10).collect()}
+    assert got_mp == got_ph == {0}
+    # missing alternative terms don't kill the slot; a slot with NO
+    # indexed alternative matches nothing
+    assert idx.search(MultiPhraseQuery((("zzz",), ("batch",))),
+                      k=10).collect() == []

@@ -135,6 +135,18 @@ def _mpq(slots):
     return MultiPhraseQuery(tuple(tuple(s) for s in slots))
 
 
+def _fq_stats_sources(s: SparkSession, sf: str) -> DataFrame:
+    """ttf/sttf/docfreq/idf/maxdoc value sources for one term
+    (`[U] solr/core/.../search/ValueSourceParser.java` rows
+    "totaltermfreq"/"sumtotaltermfreq"/"docfreq"/"idf"/"maxdoc")."""
+    idx = _index_for(s, sf)
+    return s.createDataFrame(
+        [(idx.totaltermfreq("spark"), idx.sumtotaltermfreq(),
+          idx.docfreq("spark"), round(idx.idf("spark"), 6),
+          idx.doc_count)],
+        "ttf long, sttf long, df long, idf_r double, maxdoc long")
+
+
 def _bm25_simple(spark, sf, qtext, k=10):
     """BM25 over the 'simple'-analyzer index — the DuckDB-oracled
     Tier-0 path (VERDICT r1 #1): the simple tokenizer is expressible as
@@ -1649,6 +1661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- function queries (SURVEY.md §2.10 ValueSource library)
     q["fq_termfreq"] = lambda s, sf: _index_for(s, sf).termfreq("value")
+    # corpus-stat value sources (ValueSourceParser rows totaltermfreq /
+    # sumtotaltermfreq / docfreq / idf / maxdoc): scalar index stats —
+    # ttf is ONE pushdown-pruned agg over the pre-summed cum_tf column,
+    # sttf/maxdoc are manifest metadata, idf the shared Lucene-8 float64
+    q["fq_stats_sources"] = _fq_stats_sources
     q["fq_map_recip_linear"] = lambda s, sf: _t(s, sf, "lineitem").select(
         "l_orderkey", "l_linenumber",
         vs.map_fn(F.col("l_quantity"), 1, 10, 0.0).alias("mapped"),
@@ -3511,6 +3528,27 @@ def oracle_sql() -> dict[str, str]:
                                      t -> t = 'value')) AS tf
               FROM documents
             ) WHERE tf > 0
+        """,
+        # corpus-stat value sources: same tokenization as fq_termfreq;
+        # idf is the Lucene-8 formula in double, rounded like the entry
+        "fq_stats_sources": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            agg AS (
+              SELECT
+                CAST(SUM(len(list_filter(tk, t -> t = 'spark'))) AS BIGINT) AS ttf,
+                CAST(SUM(len(tk)) AS BIGINT) AS sttf,
+                CAST(SUM(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS df,
+                COUNT(*) AS maxdoc
+              FROM toks)
+            SELECT ttf, sttf, df,
+                   ROUND(ln(1.0 + (maxdoc - df + 0.5) / (df + 0.5)), 6) AS idf_r,
+                   maxdoc
+            FROM agg
         """,
         "group_top2_orders": """
             SELECT o_custkey, group_rank, o_orderkey, ROUND(o_totalprice, 2) AS price

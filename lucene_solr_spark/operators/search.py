@@ -1170,6 +1170,23 @@ class IndexReader:
     def idf(self, term: str) -> float:
         return float(idf_fn(self.docfreq(term), self.doc_count))
 
+    def totaltermfreq(self, term: str) -> int:
+        """ttf(field, term) ValueSource (`[U] solr/core/.../search/
+        ValueSourceParser.java :: "totaltermfreq"`): total occurrences
+        of ``term`` across the corpus, delete-blind like Lucene's
+        per-term totalTermFreq. ONE pushdown-pruned aggregate over the
+        pre-summed ``cum_tf`` posting column — no blob decode, no
+        full scan."""
+        rows = (self._filtered_postings([term])
+                .agg(F.sum("cum_tf").alias("ttf")).collect())
+        return int(rows[0]["ttf"] or 0)
+
+    def sumtotaltermfreq(self) -> int:
+        """sttf(field) ValueSource: Σ totalTermFreq over every term ==
+        the manifest's sum_dl (sumTotalTermFreq) — pure metadata, no
+        scan."""
+        return int(self.sum_dl)
+
     def norms(self) -> DataFrame:
         """(doc_id, norm_byte, dl) — the norm ValueSource."""
         return self.docmeta.select("doc_id", "norm_byte", "dl")

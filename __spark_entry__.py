@@ -792,6 +792,28 @@ def _fuzzy_expansion(pattern: str, max_edits: int) -> list:
     return sorted(hits)
 
 
+def _cp_slots(body: str) -> list:
+    """ComplexPhraseQuery oracle slots, built through the SAME
+    parse_complex_phrase + multiterm_predicate + expand_phrase_slot the
+    engine uses (by-construction sharing, like _fuzzy_expansion) over
+    the fixed corpus vocabulary — the engine expands from the index
+    term dictionary, which IS _CORPUS_VOCAB for this table. Under the
+    max_expansions cap both reduce to the sorted matching set."""
+    from lucene_solr_spark.plans.query import (
+        MultiTermQuery, expand_phrase_slot, multiterm_predicate,
+        parse_complex_phrase)
+
+    slots = []
+    for p in parse_complex_phrase(body).parts:
+        if isinstance(p, MultiTermQuery):
+            pred = multiterm_predicate(p)
+            slots.append(list(expand_phrase_slot(
+                p, [t for t in _CORPUS_VOCAB if pred(t)])))
+        else:
+            slots.append([p])
+    return slots
+
+
 def _language_id_sql() -> str:
     """language_id oracle: trigram-profile hit rates recomputed in SQL
     from the SHARED _LANG_PROFILES (replace-based counting == the
@@ -1102,6 +1124,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # phrase), slot 1 is batch — matches "batch batch" and "big batch"
     q["bm25_multiphrase_topk"] = lambda s, sf: _bm25(
         s, sf, _mpq((("batch", "big"), ("batch",))))
+    # {!complexphrase} (`[U] lucene/queryparser/.../complexPhrase/
+    # ComplexPhraseQueryParser.java`): wildcard / fuzzy slots inside a
+    # quoted phrase; each slot expands against the term dictionary and
+    # the phrase runs as a MultiPhraseQuery (Lucene's
+    # spanNear(spanOr(...), 0, true) with exact adjacency)
+    q["complexphrase_wild_topk"] = lambda s, sf: _bm25(
+        s, sf, qp.parse_complex_phrase("s* table"))
+    q["complexphrase_fuzzy_topk"] = lambda s, sf: _bm25(
+        s, sf, qp.parse_complex_phrase("sort~2 key"))
     q["bm25_prefix_topk"] = lambda s, sf: _bm25(s, sf, "spar*")
     q["bm25_wildcard_topk"] = lambda s, sf: _bm25(s, sf, "w?ndow")
     q["bm25_fuzzy_topk"] = lambda s, sf: _bm25(s, sf, "spark~1")
@@ -3216,6 +3247,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_topk": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_multiphrase_topk": _bm25_sql_multiphrase(
             [("batch", "big"), ("batch",)]),
+        "complexphrase_wild_topk": _bm25_sql_multiphrase(
+            _cp_slots("s* table")),
+        "complexphrase_fuzzy_topk": _bm25_sql_multiphrase(
+            _cp_slots("sort~2 key")),
         "bm25_prefix_topk": _bm25_sql_constant("t LIKE 'spar%'"),
         "bm25_wildcard_topk": _bm25_sql_constant("regexp_full_match(t, 'w.ndow')"),
         "bm25_range_topk": _bm25_sql_constant("t >= 'spark' AND t <= 'spars'"),

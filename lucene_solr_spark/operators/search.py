@@ -50,6 +50,7 @@ from ..functions.postings import (
 )
 from ..plans.query import (
     BooleanQuery,
+    ComplexPhraseQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     MatchAllQuery,
@@ -799,6 +800,19 @@ class IndexReader:
             if q.kind == "fuzzy":
                 return expand_multiterm(q, self._matching_terms(q))
             return expand_multiterm(q, [])  # predicate stays in the tree
+        if isinstance(q, ComplexPhraseQuery):
+            # {!complexphrase}: each multiterm slot expands against the
+            # term dictionary (same bounded distributed scan as fuzzy),
+            # then the whole phrase runs as a MultiPhraseQuery — Lucene's
+            # spanNear(spanOr(...), 0, true) rewrite with exact adjacency
+            from ..plans.query import expand_phrase_slot
+
+            slots = tuple(
+                expand_phrase_slot(p, self._matching_terms(p))
+                if isinstance(p, MultiTermQuery) else (p,)
+                for p in q.parts
+            )
+            return MultiPhraseQuery(slots, q.field, q.boost)
         if isinstance(q, ConstantScoreQuery):
             return ConstantScoreQuery(self._expand(q.query), q.boost)
         if isinstance(q, DisjunctionMaxQuery):

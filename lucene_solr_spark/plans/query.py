@@ -42,6 +42,9 @@ __all__ = [
     "MultiTermQuery",
     "MultiPhraseQuery",
     "SpanFirstQuery",
+    "ComplexPhraseQuery",
+    "parse_complex_phrase",
+    "expand_phrase_slot",
     "parse_query",
     "rewrite",
     "query_terms",
@@ -165,9 +168,31 @@ class MultiTermQuery:
     include_hi: bool = True
 
 
+@dataclass(frozen=True)
+class ComplexPhraseQuery:
+    """Phrase whose slots may be multiterm subqueries (`[U] lucene/
+    queryparser/.../complexPhrase/ComplexPhraseQueryParser.java`,
+    surfaced as Solr's ``{!complexphrase}``): ``"jo* smith~2"`` matches
+    docs where some anchor position satisfies every slot. Lucene
+    rewrites the phrase to SpanNearQuery(spanOr(expanded terms per
+    slot), slop=0, inOrder=true); with exact adjacency that is
+    precisely MultiPhraseQuery semantics — per-slot union postings
+    (UnionPostingsEnum) and a weight over allTermStats — so the engine
+    expands each multiterm slot against the term dictionary
+    (IndexReader._matching_terms, capped at ``max_expansions``) via
+    expand_phrase_slot and hands the result to the MultiPhraseQuery
+    path. Slop > 0 is not modeled, matching MultiPhraseQuery above.
+
+    ``parts``: one literal term (str) or MultiTermQuery per slot."""
+
+    parts: Tuple[Union[str, MultiTermQuery], ...]
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
 Query = Union[TermQuery, PhraseQuery, MultiPhraseQuery, BooleanQuery,
               MatchAllQuery, ConstantScoreQuery, MultiTermQuery,
-              DisjunctionMaxQuery]
+              DisjunctionMaxQuery, ComplexPhraseQuery]
 
 
 # ------------------------------------------------- multi-term expansion
@@ -317,6 +342,48 @@ def expand_multiterm(q: MultiTermQuery, matching_terms: List[str]) -> "Query":
     return rewrite(BooleanQuery(
         should=tuple(TermQuery(t, q.field, q.boost) for t in sorted(chosen))
     ))
+
+
+def expand_phrase_slot(mq: MultiTermQuery, matching_terms: List[str]) -> Tuple[str, ...]:
+    """One ComplexPhraseQuery multiterm slot -> its alternative-term
+    tuple. BOTH the engine and the oracle build slots through this one
+    function: rank (edit distance to the written pattern, term), keep
+    ``max_expansions`` (Lucene's TopTermsRewrite cap inside spanOr),
+    then SORT — the deterministic slot order shared with
+    expand_multiterm's fuzzy rewrite. Under the cap (the common case)
+    the slot is simply the sorted matching-term set."""
+    ranked = sorted(matching_terms, key=lambda t: (levenshtein(t, mq.pattern), t))
+    return tuple(sorted(ranked[: mq.max_expansions]))
+
+
+_CP_FUZZY_RE = re.compile(r"^(?P<base>[^~*?]+)~(?P<edits>[012])?$")
+
+
+def parse_complex_phrase(body: str, field: str = DEFAULT_FIELD,
+                         boost: float = 1.0,
+                         max_expansions: int = 50) -> ComplexPhraseQuery:
+    """Parse the QUOTED-phrase body of a ``{!complexphrase}`` query
+    (`[U] lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser
+    .java :: ComplexPhraseQuery.parsePhraseElements`): whitespace-split
+    slots; ``tok~N`` is a fuzzy slot (default 2 edits), a token holding
+    ``*``/``?`` a wildcard slot, anything else a literal term run
+    through the phrase analyzer."""
+    parts: List[Union[str, MultiTermQuery]] = []
+    for tok in body.split():
+        m = _CP_FUZZY_RE.match(tok)
+        if m:
+            parts.append(MultiTermQuery(
+                "fuzzy", m.group("base").lower(), field,
+                max_edits=int(m.group("edits") or 2),
+                max_expansions=max_expansions))
+        elif "*" in tok or "?" in tok:
+            parts.append(MultiTermQuery(
+                "wildcard", tok.lower(), field,
+                max_expansions=max_expansions))
+        else:
+            toks = tokenize(tok)
+            parts.extend(toks if toks else [])
+    return ComplexPhraseQuery(tuple(parts), field, boost)
 
 
 def scan_predicates(q: "Query") -> List[MultiTermQuery]:

@@ -336,3 +336,49 @@ def test_multiphrase_union_semantics(spark, tmp_path):
     # indexed alternative matches nothing
     assert idx.search(MultiPhraseQuery((("zzz",), ("batch",))),
                       k=10).collect() == []
+
+
+def test_complex_phrase_parse_and_expand(spark, tmp_path):
+    """{!complexphrase}: wildcard/fuzzy slots expand against the term
+    dictionary and the phrase evaluates as a MultiPhraseQuery (Lucene's
+    spanNear(spanOr(...), 0, true) rewrite with exact adjacency)."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+    from lucene_solr_spark.plans.query import (
+        ComplexPhraseQuery, MultiPhraseQuery, MultiTermQuery,
+        parse_complex_phrase)
+
+    q = parse_complex_phrase("jo* smith~1 the")
+    assert isinstance(q, ComplexPhraseQuery)
+    w, f, lit = q.parts
+    assert isinstance(w, MultiTermQuery) and w.kind == "wildcard" \
+        and w.pattern == "jo*"
+    assert isinstance(f, MultiTermQuery) and f.kind == "fuzzy" \
+        and f.pattern == "smith" and f.max_edits == 1
+    assert lit == "the"
+    # bare ~ defaults to 2 edits (ComplexPhraseQueryParser's fuzzy slop)
+    assert parse_complex_phrase("smith~").parts[0].max_edits == 2
+
+    docs = [(0, "john smith here"), (1, "joan smyth here"),
+            (2, "smith john here"), (3, "jolt smith gone"),
+            (4, "john smith gone")]
+    df = spark.createDataFrame(
+        [(i, t, "r", f"p/{i}", "c", "en") for i, t in docs],
+        "doc_id long, content string, repo string, path string, "
+        "commit string, lang string")
+    d = str(tmp_path / "cp")
+    build_index(spark, df, d, docs_per_seg=2)
+    idx = IndexReader(spark, d)
+
+    cp = parse_complex_phrase("jo* smith~1")
+    rw = idx._expand(cp)
+    assert isinstance(rw, MultiPhraseQuery)
+    # slot 0: every jo* term in the dictionary, sorted; slot 1: smith
+    # and its edit-1 neighbor smyth
+    assert rw.slots == (("joan", "john", "jolt"), ("smith", "smyth"))
+    got = sorted(r["doc_id"] for r in idx.search(cp, k=10).collect())
+    assert got == [0, 1, 3, 4]   # doc 2 reverses the order -> no anchor
+    # literal-only complex phrase degenerates to the exact phrase
+    lit = parse_complex_phrase("john smith")
+    assert sorted(r["doc_id"] for r in idx.search(lit, k=10).collect()) \
+        == [0, 4]

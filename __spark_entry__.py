@@ -147,6 +147,64 @@ def _fq_stats_sources(s: SparkSession, sf: str) -> DataFrame:
         "ttf long, sttf long, df long, idf_r double, maxdoc long")
 
 
+def _fq_payload(s: SparkSession, sf: str) -> DataFrame:
+    """payload() value source over a DelimitedPayloadTokenFilter field
+    (`[U] lucene/analysis/common/.../payloads/DelimitedPayloadTokenFilter
+    .java`; `[U] solr/core/.../search/ValueSourceParser.java ::
+    "payload"`): the delimited field is synthesized deterministically
+    from documents.text — every token carries payload (1-based
+    position)*0.5, "big|0.5 data|1.0 ..." — then per-doc first/max/
+    average of 'spark' occurrence payloads, two of them through the
+    funcparser STRING registry (the full Solr surface end-to-end).
+    All higher-order column functions; zero UDF."""
+    from lucene_solr_spark.functions.funcparser import parse_function_query
+
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda t: t != F.lit(""))
+    ptext = F.array_join(
+        F.transform(toks, lambda t, i: F.concat(
+            t, F.lit("|"),
+            ((i + F.lit(1)).cast("double") * F.lit(0.5)).cast("string"))),
+        " ")
+    df = _docs(s, sf).select("doc_id", ptext.alias("ptext"))
+    return (df.select(
+        "doc_id",
+        F.size(vs.delimited_payloads(F.col("ptext"), "spark"))
+         .cast("long").alias("n_occ"),
+        parse_function_query("payload(ptext,'spark',0.0,'first')")
+        .alias("pay_first"),
+        vs.payload_fn(F.col("ptext"), "spark", "max").alias("pay_max"),
+        F.round(parse_function_query("payload(ptext,'spark')"), 4)
+         .alias("pay_avg_r"))
+        .filter(F.col("n_occ") > 0))
+
+
+_FQ_PAYLOAD_SQL = """
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         t -> t != '') AS tk
+      FROM documents),
+    pt AS (
+      SELECT doc_id,
+             [tk[i] || '|' || CAST(CAST(i AS DOUBLE) * 0.5 AS VARCHAR)
+              FOR i IN range(1, len(tk) + 1)] AS ptoks
+      FROM raw),
+    pp AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(ptoks, x -> split_part(x, '|', 1) = 'spark'),
+               x -> CAST(split_part(x, '|', 2) AS DOUBLE)) AS pays
+      FROM pt)
+    SELECT doc_id,
+           len(pays) AS n_occ,
+           pays[1] AS pay_first,
+           list_aggregate(pays, 'max') AS pay_max,
+           ROUND(list_aggregate(pays, 'sum') / len(pays), 4) AS pay_avg_r
+    FROM pp WHERE len(pays) > 0
+"""
+
+
 def _bm25_simple(spark, sf, qtext, k=10):
     """BM25 over the 'simple'-analyzer index — the DuckDB-oracled
     Tier-0 path (VERDICT r1 #1): the simple tokenizer is expressible as
@@ -1697,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ttf is ONE pushdown-pruned agg over the pre-summed cum_tf column,
     # sttf/maxdoc are manifest metadata, idf the shared Lucene-8 float64
     q["fq_stats_sources"] = _fq_stats_sources
+    # payload(field,'term'[,default[,'func']]) over a delimited-payload
+    # field (DelimitedPayloadTokenFilter float decoder)
+    q["fq_payload"] = _fq_payload
     q["fq_map_recip_linear"] = lambda s, sf: _t(s, sf, "lineitem").select(
         "l_orderkey", "l_linenumber",
         vs.map_fn(F.col("l_quantity"), 1, 10, 0.0).alias("mapped"),
@@ -3564,6 +3625,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE tf > 0
         """,
+        "fq_payload": _FQ_PAYLOAD_SQL,
         # corpus-stat value sources: same tokenization as fq_termfreq;
         # idf is the Lucene-8 formula in double, rounded like the entry
         "fq_stats_sources": """

@@ -171,6 +171,20 @@ class _Parser:
             return F.coalesce(F.col(alias), F.lit(default))
         if any(isinstance(x, tuple) for x in a):
             raise FunctionQueryError("$param is only valid inside query()")
+        if n == "payload":
+            # payload(field, 'term'[, default[, 'func']]) — the term and
+            # func arrive as QUOTED string literals (a bare word would
+            # parse as a field reference); `[U] solr/core/.../search/
+            # ValueSourceParser.java :: "payload"`
+            if len(a) < 2 or not isinstance(a[1], str):
+                raise FunctionQueryError(
+                    "payload() takes (field, 'term'[, default[, 'func']])")
+            default = _as_float(a[2], n) if len(a) > 2 else 0.0
+            func = a[3] if len(a) > 3 else "average"
+            if not isinstance(func, str):
+                raise FunctionQueryError("payload() func must be a string")
+            return vs.payload_fn(_as_col(a[0]), a[1], func=func,
+                                 default=default)
         cols = [_as_col(x) for x in a]
         if n in ("sum", "add"):
             out = cols[0]

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "map_fn", "scale_fn", "recip", "linear", "haversine_km", "geodist",
     "ms", "strdist_levenshtein", "ord_fn", "rord_fn", "boost_product",
-    "bbox_from_point", "bbox_predicate",
+    "bbox_from_point", "bbox_predicate", "delimited_payloads",
+    "payload_fn",
 ]
 
 #: Solr's mean earth radius, km (DistanceUtils.EARTH_MEAN_RADIUS_KM)
@@ -72,6 +73,46 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 
 
 geodist = haversine_km
+
+
+def delimited_payloads(text: Column, term: str, delimiter: str = "|") -> Column:
+    """``array<double>`` of the payloads attached to ``term``'s
+    occurrences in a whitespace-separated delimited-payload field
+    ("big|0.5 data|1.0 ..."), in occurrence order — the float-decoder
+    DelimitedPayloadTokenFilter read path (`[U] lucene/analysis/common/
+    .../payloads/DelimitedPayloadTokenFilter.java`). Pure higher-order
+    column functions (filter/transform), so the whole decode stays
+    inside whole-stage codegen — no UDF, no shuffle."""
+    toks = F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+    hits = F.filter(
+        toks, lambda t: F.substring_index(t, delimiter, 1) == F.lit(term))
+    return F.transform(
+        hits, lambda t: F.substring_index(t, delimiter, -1).cast("double"))
+
+
+def payload_fn(text: Column, term: str, func: str = "average",
+               default: float = 0.0, delimiter: str = "|") -> Column:
+    """``payload(field, term[, default[, func]])`` — per-doc aggregate
+    of the term's occurrence payloads; ``default`` when the term is
+    absent (`[U] solr/core/.../search/ValueSourceParser.java ::
+    "payload"` -> FloatPayloadValueSource; func per `[U] lucene/queries/
+    .../payloads/PayloadFunction.java` subclasses: min/max/average plus
+    Solr's first). Computed in double — Lucene's float32 stream is
+    bit-identical for payloads below 2**24 with exact binary fractions,
+    the delimited-payload norm."""
+    pays = delimited_payloads(text, term, delimiter)
+    n = F.size(pays)
+    if func == "first":
+        v = F.element_at(pays, 1)
+    elif func == "min":
+        v = F.array_min(pays)
+    elif func == "max":
+        v = F.array_max(pays)
+    elif func == "average":
+        v = F.aggregate(pays, F.lit(0.0), lambda a, x: a + x) / n
+    else:
+        raise ValueError(f"unknown payload func {func!r}")
+    return F.when(n > 0, v).otherwise(F.lit(float(default)))
 
 
 def bbox_from_point(lat: float, lon: float, d_km: float):

@@ -239,3 +239,35 @@ def test_infix_suggest_token_boundary(spark):
     rows = infix_suggest(df, "text", "w", "vec", key_cols=["id"]).collect()
     # token-boundary prefix: matches docs 0 and 2, NOT the infix of doc 1
     assert [r["id"] for r in rows] == [0, 2]   # weight desc
+
+
+def test_payload_value_source(spark):
+    """payload(field,'term'[,default[,'func']]) over a delimited-payload
+    field: per-doc first/min/max/average of occurrence payloads, default
+    when absent (DelimitedPayloadTokenFilter float decoder +
+    FloatPayloadValueSource)."""
+    from lucene_solr_spark.functions import valuesource as vs
+    from lucene_solr_spark.functions.funcparser import (
+        FunctionQueryError, parse_function_query)
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, "a|1.0 b|2.0 a|4.0"), (1, "b|3.5"), (2, "a|0.5")],
+        "doc_id long, ptext string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        vs.payload_fn(df.ptext, "a", "first").alias("f"),
+        vs.payload_fn(df.ptext, "a", "min").alias("mn"),
+        vs.payload_fn(df.ptext, "a", "max").alias("mx"),
+        parse_function_query("payload(ptext,'a')").alias("avg"),
+        parse_function_query("payload(ptext,'a',-1.0,'max')").alias("dflt"),
+    ).collect()}
+    assert (out[0]["f"], out[0]["mn"], out[0]["mx"], out[0]["avg"]) \
+        == (1.0, 1.0, 4.0, 2.5)
+    assert out[1]["dflt"] == -1.0          # 'a' absent -> default
+    assert out[1]["avg"] == 0.0            # Solr default default = 0
+    assert out[2]["avg"] == 0.5
+    # the term must be a quoted string literal (a bare word would be a
+    # field reference)
+    with _pytest.raises(FunctionQueryError):
+        parse_function_query("payload(ptext)")

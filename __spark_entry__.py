@@ -1912,14 +1912,19 @@ _WINDOW_ORDER = [
     "frange_orders", "terms_filter_parts", "terms_enum_range",
     # never-graded: dedup/text-analysis depth + the NEW XML loader seam
     "signature_dedup", "text_repetition", "ingest_xml_roundtrip",
-    # never-graded: function-query family (fq_ms_ord left out —
-    # same ord/rord class as fq_strdist's string-distance shape)
+    # never-graded: function-query family (fq_ms_ord/fq_strdist left
+    # out — the ord/strdist shapes are same-class with the four below;
+    # fq_payload is the NEW payload() value-source class)
     "fq_scale", "fq_haversine", "fq_bbox", "fq_query_boost",
-    "fq_strdist",
-    # never-graded: multimodal (real codecs + the frame/audio
-    # plumbing; mm_image_meta/resize are same-kernel synthetic twins)
+    "fq_payload",
+    # NEW this session: {!complexphrase} wildcard-slot phrase (the
+    # fuzzy-slot twin stays replica-only, same expansion class)
+    "complexphrase_wild_topk",
+    # never-graded: multimodal (real codecs + the frame plumbing;
+    # mm_image_meta/resize/audio_features are same-kernel synthetic
+    # twins of the in-window real-codec rows)
     "mm_real_bmp_meta", "mm_real_wav_features",
-    "mm_frame_sample", "mm_audio_features",
+    "mm_frame_sample",
 ]
 
 

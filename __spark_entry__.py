@@ -805,6 +805,57 @@ def _bm25_sql_spanfirst(term: str, end: int, k: int = 10, chain: str = "tk0", dl
             + ctes + _bm25_rank_tail(scored, k))
 
 
+def _bm25_sql_spanor(terms, k: int = 10, boost: float = 1.0,
+                     chain: str = "tk0", dl: str = "len(tk)",
+                     src_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """SpanOrQuery oracle: freq = Σ clause tf (every span counts);
+    weight = float32(boost * Σ idf) over every clause term
+    (SpanOrWeight allTermStats, like MultiPhraseWeight)."""
+    ctes = "".join(_bm25_term_ctes(i, t, 1.0) for i, t in enumerate(terms))
+    idf_sum = " + ".join(
+        f"ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM d{i}) + 0.5)"
+        f" / ((SELECT df FROM d{i}) + 0.5))" for i in range(len(terms)))
+    set_sql = ", ".join(f"'{t}'" for t in terms)
+    scored = f"""SELECT doc_id,
+             CAST({boost!r} * ({idf_sum}) AS REAL)
+             * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc
+      FROM (SELECT doc_id, c,
+                   len(list_filter(tk, x -> x IN ({set_sql}))) AS tf
+            FROM cache)
+      WHERE tf > 0"""
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain,
+                                 src=src_sql, dl=dl) + ctes
+            + _bm25_rank_tail(scored, k))
+
+
+def _bm25_sql_spannot(inc: str, exc: str, pre: int, post: int, k: int = 10,
+                      boost: float = 1.0, chain: str = "tk0",
+                      dl: str = "len(tk)",
+                      src_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """SpanNotQuery oracle: tf = include occurrences with no exclude
+    occurrence inside [p-pre, p+post]; df/idf stay the include term's
+    FULL stats (the exclude weight is COMPLETE_NO_SCORES)."""
+    idf = ("ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM d0) + 0.5)"
+           " / ((SELECT df FROM d0) + 0.5))")
+    ctes = f""",
+    m0 AS (SELECT doc_id, c,
+                  len(list_filter(tk, x -> x = '{inc}')) AS tf_full,
+                  len([i FOR i IN range(1, len(tk) + 1)
+                       IF tk[i] = '{inc}'
+                          AND len([j FOR j IN range(GREATEST(1, i - {pre}),
+                                                    LEAST(len(tk), i + {post}) + 1)
+                                   IF tk[j] = '{exc}']) = 0]) AS tf
+           FROM cache),
+    d0 AS (SELECT COUNT(*) AS df FROM m0 WHERE tf_full > 0)"""
+    scored = f"""SELECT doc_id,
+             CAST({boost!r} * ({idf}) AS REAL)
+             * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc
+      FROM m0 WHERE tf > 0"""
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain,
+                                 src=src_sql, dl=dl)
+            + ctes + _bm25_rank_tail(scored, k))
+
+
 def _bm25_sql_constant(pred: str, k: int = 10, boost: float = 1.0,
                        chain: str = "tk0") -> str:
     """Constant-score multiterm (prefix / wildcard / range): the engine
@@ -1019,6 +1070,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_spanfirst_topk"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.SpanFirstQuery("spark", 5), k=10))
+    # SpanOr / SpanNot (span family alongside SpanFirst): SpanOr sums
+    # clause tfs under ONE allTermStats weight; SpanNot keeps include
+    # occurrences with no exclude occurrence in [p-pre, p+post]
+    q["bm25_spanor_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="simple").search(
+            qp.SpanOrQuery(("spark", "merge")), k=10))
+    q["bm25_spannot_topk"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="simple").search(
+            qp.SpanNotQuery("spark", "merge", pre=1, post=1), k=10))
     q["bm25_simple_dismax"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.DisjunctionMaxQuery(
@@ -2745,6 +2805,8 @@ def oracle_sql() -> dict[str, str]:
             [("spark", 1.0), ("merge", 1.0), ("join", 1.0)]),
         "bm25_simple_phrase": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_spanfirst_topk": _bm25_sql_spanfirst("spark", 5),
+        "bm25_spanor_topk": _bm25_sql_spanor(("spark", "merge")),
+        "bm25_spannot_topk": _bm25_sql_spannot("spark", "merge", 1, 1),
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
         "ltr_rerank_topk": _ltr_sql("spark", 0.7, 0.1, 0.2),

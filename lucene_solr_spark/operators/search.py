@@ -59,6 +59,8 @@ from ..plans.query import (
     PhraseQuery,
     Query,
     SpanFirstQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     TermQuery,
     expand_multiterm,
     parse_query,
@@ -261,6 +263,10 @@ class _SegmentScorer:
             return self._eval_multiphrase(q)
         if isinstance(q, SpanFirstQuery):
             return self._eval_spanfirst(q)
+        if isinstance(q, SpanOrQuery):
+            return self._eval_spanor(q)
+        if isinstance(q, SpanNotQuery):
+            return self._eval_spannot(q)
         if isinstance(q, BooleanQuery):
             return self._eval_bool(q)
         raise TypeError(f"unsupported query node {q!r}")
@@ -278,6 +284,51 @@ class _SegmentScorer:
         hit = tfs > 0
         w = self.weights.get((q.term, q.boost), np.float32(0.0))
         return tp.docs[hit], self.score_fn(w, tfs[hit], tp.norms[hit], self.cache)
+
+    def _eval_spanor(self, q: SpanOrQuery) -> Tuple[np.ndarray, np.ndarray]:
+        """SpanOr over term spans: freq = Σ clause tf (every span
+        counts, no position decode needed), one combined allTermStats
+        weight. Tf-only — a pure postings pass."""
+        tps = [self.terms[t] for t in q.terms if t in self.terms]
+        if not tps:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs = np.unique(np.concatenate([tp.docs for tp in tps]))
+        freqs = np.zeros(len(docs), dtype=np.int64)
+        norms = np.zeros(len(docs), dtype=np.int64)
+        for tp in tps:
+            idx = np.searchsorted(docs, tp.docs)
+            freqs[idx] += tp.tfs
+            norms[idx] = tp.norms
+        w = self.phrase_weights[("__or__",) + q.terms]
+        return docs, self.score_fn(w, freqs, norms, self.cache)
+
+    def _eval_spannot(self, q: SpanNotQuery) -> Tuple[np.ndarray, np.ndarray]:
+        """SpanNot(include, exclude, pre, post): include occurrences at
+        p survive unless an exclude occurrence sits in [p-pre, p+post].
+        Two-phase: positions decoded only for docs holding BOTH terms;
+        include-only docs keep their raw tf."""
+        inc = self.terms.get(q.term)
+        if inc is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        tfs = inc.tfs.astype(np.int64, copy=True)
+        exc = self.terms.get(q.exclude)
+        if exc is not None:
+            shared = np.isin(inc.docs, exc.docs, assume_unique=True)
+            if shared.any():
+                inc_pos = inc.positions()
+                exc_pos = exc.positions()
+                exc_sel = np.searchsorted(exc.docs, inc.docs[shared])
+                for ci, (ii, ei) in enumerate(
+                        zip(np.flatnonzero(shared), exc_sel)):
+                    ps = inc_pos[ii]
+                    ep = exc_pos[ei]
+                    lo = np.searchsorted(ep, ps - q.pre, side="left")
+                    hi = np.searchsorted(ep, ps + q.post, side="right")
+                    tfs[ii] = int((lo == hi).sum())
+        hit = tfs > 0
+        w = self.weights.get((q.term, q.boost), np.float32(0.0))
+        return inc.docs[hit], self.score_fn(
+            w, tfs[hit], inc.norms[hit], self.cache)
 
     def _eval_phrase(self, q: PhraseQuery) -> Tuple[np.ndarray, np.ndarray]:
         tps = [self.terms.get(t) for t in q.terms]
@@ -727,12 +778,31 @@ class IndexReader:
                 return term_weight(df, self.doc_count, boost, classic_k1p1)
 
         def walk(node: Query):
-            if isinstance(node, (TermQuery, SpanFirstQuery)):
+            if isinstance(node, (TermQuery, SpanFirstQuery, SpanNotQuery)):
+                # SpanNot scores with the INCLUDE term's stats only
+                # (exclude weight is COMPLETE_NO_SCORES)
                 if node.term in dfs:
                     weights.setdefault(
                         (node.term, node.boost),
                         _tw(dfs[node.term], node.boost),
                     )
+            elif isinstance(node, SpanOrQuery):
+                # SpanOrWeight: one simWeight over EVERY clause term
+                # (allTermStats), boost folded like MultiPhraseWeight
+                if self.similarity == "classic":
+                    from ..functions.tfidf import classic_phrase_weight
+
+                    phrase_weights[("__or__",) + node.terms] = \
+                        classic_phrase_weight(
+                            [dfs.get(t, 0) for t in node.terms],
+                            self.doc_count, node.boost)
+                else:
+                    w = node.boost * sum(
+                        idf_fn(dfs.get(t, 0), self.doc_count)
+                        for t in node.terms)
+                    if classic_k1p1:
+                        w *= K1 + 1.0
+                    phrase_weights[("__or__",) + node.terms] = np.float32(w)
             elif isinstance(node, ConstantScoreQuery):
                 walk(node.query)
             elif isinstance(node, DisjunctionMaxQuery):
@@ -1386,7 +1456,10 @@ class IndexReader:
 
 
 def _contains_spanfirst(q: Query) -> bool:
-    if isinstance(q, SpanFirstQuery):
+    """True when the tree holds a position-consuming span node
+    (SpanFirst / SpanNot — SpanOr is tf-only) so the pos blobs must
+    ship with the scan."""
+    if isinstance(q, (SpanFirstQuery, SpanNotQuery)):
         return True
     if isinstance(q, ConstantScoreQuery):
         return _contains_spanfirst(q.query)

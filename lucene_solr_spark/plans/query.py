@@ -42,6 +42,8 @@ __all__ = [
     "MultiTermQuery",
     "MultiPhraseQuery",
     "SpanFirstQuery",
+    "SpanOrQuery",
+    "SpanNotQuery",
     "ComplexPhraseQuery",
     "parse_complex_phrase",
     "expand_phrase_slot",
@@ -148,6 +150,41 @@ class SpanFirstQuery:
 
 
 @dataclass(frozen=True)
+class SpanOrQuery:
+    """`[U] lucene/core/.../search/spans/SpanOrQuery.java` over
+    SpanTermQuery clauses: the span stream is the union of every
+    clause's term spans. As a top-level scored query each span
+    contributes sloppyFreq(0) = 1, so freq = Σ clause tf (spans at the
+    SAME position from stacked tokens are distinct spans and each
+    count), and SpanOrWeight's buildSimWeight collects EVERY clause
+    term's stats: weight = boost * Σ idf in clause order (allTermStats,
+    like MultiPhraseWeight)."""
+
+    terms: Tuple[str, ...]
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery:
+    """`[U] lucene/core/.../search/spans/SpanNotQuery.java` with term
+    include/exclude spans: include occurrences survive unless an
+    exclude occurrence lies within ``pre`` positions before or ``post``
+    positions after (overlap window [p-pre, p+post] for single-token
+    spans). freq = surviving occurrences; the weight is the INCLUDE
+    term's own stats — createWeight builds the exclude weight with
+    ScoreMode.COMPLETE_NO_SCORES and hands only the include term
+    states to buildSimWeight."""
+
+    term: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MultiTermQuery:
     """Term-dict-expanded query (`[U] .../search/MultiTermQuery.java`):
     prefix / wildcard / regexp / range rewrite to a CONSTANT-SCORE
@@ -192,7 +229,8 @@ class ComplexPhraseQuery:
 
 Query = Union[TermQuery, PhraseQuery, MultiPhraseQuery, BooleanQuery,
               MatchAllQuery, ConstantScoreQuery, MultiTermQuery,
-              DisjunctionMaxQuery, ComplexPhraseQuery]
+              DisjunctionMaxQuery, ComplexPhraseQuery, SpanOrQuery,
+              SpanNotQuery]
 
 
 # ------------------------------------------------- multi-term expansion
@@ -737,6 +775,13 @@ def query_terms(q: Query) -> List[Tuple[str, str]]:
             out.append((node.field, node.term))
         elif isinstance(node, SpanFirstQuery):
             out.append((node.field, node.term))
+        elif isinstance(node, SpanOrQuery):
+            out.extend((node.field, t) for t in node.terms)
+        elif isinstance(node, SpanNotQuery):
+            # the exclude term carries no score but its postings must
+            # reach the kernel (position veto)
+            out.append((node.field, node.term))
+            out.append((node.field, node.exclude))
         elif isinstance(node, PhraseQuery):
             out.extend((node.field, t) for t in node.terms)
         elif isinstance(node, MultiPhraseQuery):

@@ -382,3 +382,44 @@ def test_complex_phrase_parse_and_expand(spark, tmp_path):
     lit = parse_complex_phrase("john smith")
     assert sorted(r["doc_id"] for r in idx.search(lit, k=10).collect()) \
         == [0, 4]
+
+
+def test_spanor_spannot_semantics(spark, tmp_path):
+    """SpanOr: freq = sum of clause tfs under ONE allTermStats weight.
+    SpanNot(include, exclude, pre, post): include occurrences survive
+    only with no exclude occurrence inside [p-pre, p+post]."""
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+    from lucene_solr_spark.plans.query import SpanNotQuery, SpanOrQuery
+
+    docs = [(0, "a x a b a"),      # a at 1,3,5 (1-based); b at 4
+            (1, "a a a"),          # no b anywhere
+            (2, "b a b"),          # a at 2 vetoed by b at 1 and 3
+            (3, "x b x a"),        # b two before a -> outside pre=1
+            (4, "b b b")]          # no include
+    df = spark.createDataFrame(
+        [(i, t, "r", f"p/{i}", "c", "en") for i, t in docs],
+        "doc_id long, content string, repo string, path string, "
+        "commit string, lang string")
+    d = str(tmp_path / "sp")
+    build_index(spark, df, d, docs_per_seg=2)
+    idx = IndexReader(spark, d)
+
+    # SpanNot with pre=post=1: doc0 keeps only position 1 (3 and 5
+    # overlap b@4), doc1 keeps all 3, doc2 loses its only a, doc3's b
+    # sits 2 positions before a -> survives
+    got = {r["doc_id"]: r["score"] for r in
+           idx.search(SpanNotQuery("a", "b", pre=1, post=1), k=10).collect()}
+    assert set(got) == {0, 1, 3}
+    # surviving tf: doc0=1, doc1=3, doc3=1 — same-norm doc0(dl 5) vs
+    # doc1(dl 3): higher tf must outscore at equal weight
+    assert got[1] > got[0]
+    # pre/post=0: only exact overlap vetoes (impossible for distinct
+    # single-token spans) -> every include occurrence survives
+    got0 = {r["doc_id"] for r in
+            idx.search(SpanNotQuery("a", "b", pre=0, post=0), k=10).collect()}
+    assert got0 == {0, 1, 2, 3}
+
+    # SpanOr freq: doc0 has a*3 + b*1 = 4 spans; doc4 has 3; doc2 has 3
+    so = idx.search(SpanOrQuery(("a", "b")), k=10)
+    assert {r["doc_id"] for r in so.collect()} == {0, 1, 2, 3, 4}

@@ -84,6 +84,26 @@ def _wd_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return rdr
 
 
+def _ph_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """PathHierarchyTokenizer index over the same filename field the
+    word_delimiter index uses ("corpus/srcN docs/M.txt") — Solr's
+    descendent_path fieldType: every ancestor prefix is indexed at the
+    head position so subtree filters/facets are single-term lookups."""
+    key = (sf_dir, "path_hierarchy")
+    rdr = _INDEX_CACHE.get(key)
+    if rdr is None:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        d = os.path.join(WORK_DIR, f"idx_v{INDEX_FORMAT_VERSION}_{tag}_ph")
+        if read_manifest(d) is None:
+            src = load_source_table(spark, sf_dir).withColumn(
+                "pathname", F.concat_ws(" ", F.col("repo"), F.col("path")))
+            build_index(spark, src, d, docs_per_seg=128,
+                        analyzer="path_hierarchy", field_name="pathname")
+        rdr = IndexReader(spark, d)
+        _INDEX_CACHE[key] = rdr
+    return rdr
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for a disjunction, stored fields fetched."""
     idx = _index_for(spark, "/root/testdata/sf0.001")
@@ -1801,6 +1821,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["terms_enum_range"] = lambda s, sf: _index_for(s, sf).terms_enum(
         lower="p", upper="t", min_count=2, limit=15, sort="index"
     )
+    # PathHierarchyTokenizer (descendent_path): the terms enumeration
+    # under the 'corpus/' subtree — ancestor prefixes carry the doc
+    # counts of their whole subtree as plain term dfs
+    q["path_hierarchy_terms"] = lambda s, sf: _ph_index(s, sf).terms_enum(
+        prefix="corpus/", min_count=2, limit=20, sort="count"
+    )
     q["highlight_hits"] = lambda s, sf: hl.highlight(
         _index_for(s, sf).fetch(_index_for(s, sf).search("content:spark", k=5))
         .join(load_source_table(s, sf).select("doc_id", "content"), "doc_id"),
@@ -3120,6 +3146,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, df FROM td
             WHERE term >= 'p' AND term < 't' AND df >= 2
             ORDER BY term LIMIT 15
+        """,
+        # path_hierarchy: the same pathname reconstruction as the WD
+        # oracle, expanded to cumulative '/'-prefixes per doc
+        "path_hierarchy_terms": f"""
+            WITH pn AS (
+              SELECT doc_id, {_WD_PATHNAME} AS p FROM documents),
+            pref AS (
+              SELECT doc_id,
+                     unnest([array_to_string(ps[1:d], '/')
+                             FOR d IN range(1, len(ps) + 1)]) AS term
+              FROM (SELECT doc_id, string_split(p, '/') AS ps FROM pn)),
+            g AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM pref WHERE term LIKE 'corpus/%'
+                  GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2)
+            SELECT term, df FROM g ORDER BY df DESC, term LIMIT 20
         """,
         # MoreLikeThis: the engine picks the text's top tf*idf terms
         # (all tf=1 here; min_doc_freq=2 keeps every corpus term at this

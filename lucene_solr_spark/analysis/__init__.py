@@ -82,7 +82,8 @@ _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
               "phonetic": TOKEN_RE,
               "word_delimiter": re.compile(r"\S+"),
               "common_grams": TOKEN_RE,
-              "reversed_wildcard": TOKEN_RE}
+              "reversed_wildcard": TOKEN_RE,
+              "path_hierarchy": None}  # whole input -> prefix stack
 
 #: ReversedWildcardFilter marker (`[U] lucene/analysis/common/.../
 #: reverse/ReverseStringFilter.java :: START_OF_HEADING_MARKER` via
@@ -290,11 +291,31 @@ def _emit_reversed(raw):
     return out
 
 
+#: PathHierarchyTokenizer delimiter (`[U] lucene/analysis/common/.../
+#: path/PathHierarchyTokenizer.java :: DEFAULT_DELIMITER`)
+PATH_HIERARCHY_DELIMITER = "/"
+
+
+def _emit_path_hierarchy(raw):
+    """PathHierarchyTokenizer (`[U] lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java`): from one input path emit every
+    cumulative prefix — "a/b/c" -> a, a/b, a/b/c — the head at
+    posIncr 1 and the rest STACKED at the same position (posIncr 0),
+    so norms discount everything but the head (discountOverlaps)."""
+    out = []
+    for i, t in enumerate(raw):
+        parts = t.split(PATH_HIERARCHY_DELIMITER)
+        for d in range(1, len(parts) + 1):
+            out.append((PATH_HIERARCHY_DELIMITER.join(parts[:d]), i))
+    return out
+
+
 _EMITTERS = {"shingle": _emit_shingle, "edge_ngram": _emit_edge_ngram,
              "synonym_demo": _emit_synonym, "phonetic": _emit_phonetic,
              "word_delimiter": _emit_word_delimiter,
              "common_grams": _emit_common_grams,
-             "reversed_wildcard": _emit_reversed}
+             "reversed_wildcard": _emit_reversed,
+             "path_hierarchy": _emit_path_hierarchy}
 
 #: emitters whose output stream is strictly one term per position (no
 #: stacking) — phrase queries can use the emitted stream directly.
@@ -399,6 +420,11 @@ def _raw_tokens(text: str, analyzer: str) -> List[str]:
     if analyzer == "keyword":
         # KeywordTokenizer: the whole input verbatim (no lowercase)
         return _split_long(text) if text else []
+    if analyzer == "path_hierarchy":
+        # PathHierarchyTokenizer consumes the whole input as ONE path
+        # (no lowercase, no length split — chopping a path would
+        # corrupt its prefix chain); the emitter stacks the prefixes
+        return [text] if text else []
     if analyzer == "ascii_folding":
         text = _fold_ascii(text)
     pattern = _ANALYZERS[analyzer]

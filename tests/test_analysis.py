@@ -373,3 +373,19 @@ def test_field_length_discounts_overlaps():
     # stop-gap analyzers: no stacking, dl == emitted count
     toks = analyze("the spark and the merge", "standard_stop")
     assert field_length(toks) == len(toks)
+
+
+def test_path_hierarchy_tokenizer():
+    """PathHierarchyTokenizer: cumulative '/'-prefixes, all stacked at
+    the head position (posIncr 0 after the first), norm length 1."""
+    from lucene_solr_spark.analysis import analyze, field_length, tokenize
+
+    assert tokenize("a/b/c", "path_hierarchy") == ["a", "a/b", "a/b/c"]
+    pairs = analyze("corpus/src3 docs/42.txt", "path_hierarchy")
+    assert pairs == [("corpus", 0), ("corpus/src3 docs", 0),
+                     ("corpus/src3 docs/42.txt", 0)]
+    assert field_length(pairs) == 1          # discountOverlaps
+    assert tokenize("", "path_hierarchy") == []
+    assert tokenize("noslash", "path_hierarchy") == ["noslash"]
+    # no lowercase fold (descendent_path is a verbatim chain)
+    assert tokenize("A/B", "path_hierarchy") == ["A", "A/B"]

@@ -1615,6 +1615,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'count(*), sum(l_quantity)), gt(count(*), 100))',
         {"lineitem": _t(s, sf, "lineitem")},
     )
+    # cartesianProduct through the text front door: unnest the
+    # multi-valued term field, rollup term counts (CartesianProduct
+    # Stream + RollupStream composition)
+    q["streamexpr_cartesian"] = lambda s, sf: (
+        sp.parse_stream_expr(
+            'rollup(cartesianProduct(search(doctoks, q="*:*"), term), '
+            'over="term", count(*))',
+            {"doctoks": _docs(s, sf).select(
+                "doc_id",
+                F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                         lambda t: t != F.lit("")).alias("term"))})
+        .select("term", F.col("count(*)").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term")).limit(20))
     # text-driven timeseries through the SAME parser front door — the
     # bucketing re-tested through a second path, in the probe-proven
     # decimal-free shape (day string, counts, exact bigint cents)
@@ -3051,6 +3064,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars > 300 AND lang IS NOT NULL
             GROUP BY lang HAVING COUNT(*) >= 1
             ORDER BY total DESC, lang LIMIT 3
+        """,
+        "streamexpr_cartesian": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            u AS (SELECT unnest(tk) AS term FROM toks)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM u GROUP BY term ORDER BY cnt DESC, term LIMIT 20
         """,
         "streamexpr_text_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS "count(*)",

@@ -101,6 +101,15 @@ def hash_join_stream(a: DataFrame, small: DataFrame, on: Sequence[str],
     return a.join(F.broadcast(small), list(on), how)
 
 
+def cartesian_product_stream(df: DataFrame, fld: str) -> DataFrame:
+    """CartesianProductStream (`[U] solr/solrj/.../io/stream/
+    CartesianProductStream.java`): one output tuple per value of the
+    multi-valued field, the field replaced by its scalar value, every
+    other column carried through. A plain explode — narrow, no
+    shuffle, scales linearly with the value count."""
+    return df.withColumn(fld, F.explode(F.col(fld)))
+
+
 def cross_product_stream(a: DataFrame, b: DataFrame) -> DataFrame:
     """`[U] .../io/stream/CartesianProductStream.java` (⚠ name per
     SURVEY.md §2.7)."""

@@ -295,6 +295,14 @@ def _eval(c: Call, env: Dict[str, DataFrame]) -> DataFrame:
     if n == "hashJoin":
         return sx.hash_join_stream(
             inner[0], inner[1], [f.strip() for f in str(p["on"]).split(",")])
+    if n == "cartesianProduct":
+        # cartesianProduct(stream, field): one tuple per value of the
+        # multi-valued field (`[U] solr/solrj/.../io/stream/
+        # CartesianProductStream.java`)
+        flds = [a for a in c.args[1:] if isinstance(a, str)]
+        if not flds:
+            raise StreamExprError("cartesianProduct() needs a field")
+        return sx.cartesian_product_stream(inner[0], flds[0])
     if n == "rollup":
         keys = [f.strip() for f in str(p["over"]).split(",")]
         return sx.rollup_stream(inner[0], keys, *_aggs(c))

@@ -174,3 +174,21 @@ def test_fetch_significant_nodes_stats(spark, sf_dir):
         'hops=2)', {"edges": edges, "seeds": seeds})
     got = {(r["node"], r["level"]) for r in out.collect()}
     assert got == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_cartesian_product_stream(spark):
+    """cartesianProduct(stream, field): one tuple per value of the
+    multi-valued field, other columns carried through; empty arrays
+    yield no tuples (Solr CartesianProductStream)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.streamparser import parse_stream_expr
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"]), (3, [])],
+        "id long, vals array<string>")
+    out = parse_stream_expr(
+        'cartesianProduct(search(t, q="*:*"), vals)', {"t": df})
+    rows = sorted((r["id"], r["vals"]) for r in out.collect())
+    assert rows == [(1, "a"), (1, "b"), (2, "c")]
+    assert dict(out.dtypes)["vals"] == "string"

@@ -1168,6 +1168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, sf, analyzer="shingle").termfreq("spark merge")
     q["edge_ngram_termfreq"] = lambda s, sf: _index_for(
         s, sf, analyzer="edge_ngram").termfreq("spar")
+    # interior NGramTokenFilter (min 3, max 4): tf of the gram 'par'
+    # sums OVERLAPPING starts across tokens ('spark' and 'part' both
+    # carry it)
+    q["ngram_termfreq"] = lambda s, sf: _index_for(
+        s, sf, analyzer="ngram").termfreq("par")
     q["synonym_termfreq"] = lambda s, sf: _index_for(
         s, sf, analyzer="synonym_demo").termfreq("flame")
     # PhoneticFilter (Soundex, inject=true): the query token "spork"
@@ -3287,6 +3292,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      len(list_filter(tk, t -> length(t) >= 4
                                           AND t LIKE 'spar%')) AS tf
+              FROM toks
+            ) WHERE tf > 0
+        """,
+        "ngram_termfreq": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents)
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     CAST(list_aggregate(list_transform(tk, t ->
+                       len([i FOR i IN range(1, len(t) - 1)
+                            IF substr(t, i, 3) = 'par'])), 'sum')
+                       AS BIGINT) AS tf
               FROM toks
             ) WHERE tf > 0
         """,

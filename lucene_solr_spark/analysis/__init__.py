@@ -83,7 +83,8 @@ _ANALYZERS = {"standard": TOKEN_RE, "simple": SIMPLE_TOKEN_RE,
               "word_delimiter": re.compile(r"\S+"),
               "common_grams": TOKEN_RE,
               "reversed_wildcard": TOKEN_RE,
-              "path_hierarchy": None}  # whole input -> prefix stack
+              "path_hierarchy": None,  # whole input -> prefix stack
+              "ngram": TOKEN_RE}
 
 #: ReversedWildcardFilter marker (`[U] lucene/analysis/common/.../
 #: reverse/ReverseStringFilter.java :: START_OF_HEADING_MARKER` via
@@ -152,6 +153,21 @@ def _emit_edge_ngram(raw):
     for i, t in enumerate(raw):
         for n in range(EDGE_NGRAM_MIN, min(EDGE_NGRAM_MAX, len(t)) + 1):
             out.append((t[:n], i))
+    return out
+
+
+# NGramTokenFilter bounds (`[U] lucene/analysis/common/.../ngram/
+# NGramTokenFilter.java`): every INTERIOR gram of length min..max per
+# token (preserveOriginal=false), all stacked at the source position.
+NGRAM_MIN, NGRAM_MAX = 3, 4
+
+
+def _emit_ngram(raw):
+    out = []
+    for i, t in enumerate(raw):
+        for n in range(NGRAM_MIN, min(NGRAM_MAX, len(t)) + 1):
+            for s in range(0, len(t) - n + 1):
+                out.append((t[s:s + n], i))
     return out
 
 
@@ -315,7 +331,8 @@ _EMITTERS = {"shingle": _emit_shingle, "edge_ngram": _emit_edge_ngram,
              "word_delimiter": _emit_word_delimiter,
              "common_grams": _emit_common_grams,
              "reversed_wildcard": _emit_reversed,
-             "path_hierarchy": _emit_path_hierarchy}
+             "path_hierarchy": _emit_path_hierarchy,
+             "ngram": _emit_ngram}
 
 #: emitters whose output stream is strictly one term per position (no
 #: stacking) — phrase queries can use the emitted stream directly.

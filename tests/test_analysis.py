@@ -389,3 +389,15 @@ def test_path_hierarchy_tokenizer():
     assert tokenize("noslash", "path_hierarchy") == ["noslash"]
     # no lowercase fold (descendent_path is a verbatim chain)
     assert tokenize("A/B", "path_hierarchy") == ["A", "A/B"]
+
+
+def test_ngram_filter():
+    """Interior NGramTokenFilter (3..4): every gram stacked at the
+    source position, overlapping starts included."""
+    from lucene_solr_spark.analysis import analyze, tokenize
+
+    assert tokenize("spark", "ngram") == \
+        ["spa", "par", "ark", "spar", "park"]
+    # short tokens below min emit nothing; positions stay the source's
+    pairs = analyze("ab part", "ngram")
+    assert pairs == [("par", 1), ("art", 1), ("part", 1)]

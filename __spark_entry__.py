@@ -1549,6 +1549,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).docs.select(
         F.col("position").cast("long").alias("position"), "doc_id",
         F.round(F.col("score").cast("double"), 4).alias("score_r"), "lang")
+    # {!complexphrase} through the /select facade: the quoted phrase's
+    # wildcard slot expands at search time, page shape unchanged
+    q["solr_select_complexphrase"] = lambda s, sf: sel.solr_select(
+        _index_for(s, sf, analyzer="simple"),
+        {"q": '{!complexphrase}content:"s* table"', "rows": 5},
+    ).docs.select(
+        F.col("position").cast("long").alias("position"), "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score_r"))
     q["solr_select_facet"] = lambda s, sf: sel.solr_select(
         _index_for(s, sf, analyzer="simple"),
         {"q": "spark OR merge OR vector", "fq": "join",
@@ -2983,6 +2991,10 @@ def oracle_sql() -> dict[str, str]:
                 [("spark", 1.0), ("merge", 1.0), ("vector", 1.0)],
                 k=5, start=2, require=("join",))}) p
             JOIN documents d USING (doc_id)
+        """,
+        "solr_select_complexphrase": f"""
+            SELECT p.rank AS position, p.doc_id, p.score_r
+            FROM ({_bm25_sql_multiphrase(_cp_slots("s* table"), k=5)}) p
         """,
         "solr_select_facet": f"""
             WITH raw AS (

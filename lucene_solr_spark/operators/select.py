@@ -152,6 +152,22 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
 
     q = params["q"]
     boost_fn = None
+    if isinstance(q, str) and q.startswith("{!complexphrase"):
+        # {!complexphrase inOrder=true}field:"phrase with wild* slots"
+        # (`[U] solr/core/.../search/ComplexPhraseQParserPlugin.java`):
+        # the quoted phrase parses into a ComplexPhraseQuery whose
+        # multiterm slots expand at search time (plans/query.py)
+        from ..functions.funcparser import parse_local_params
+        from ..plans.query import parse_complex_phrase
+
+        _, lp, body = parse_local_params(q)
+        if lp.get("inOrder", "true").lower() != "true":
+            raise ValueError("{!complexphrase} supports inOrder=true only "
+                             "(exact-adjacency MultiPhraseQuery rewrite)")
+        fld = "content"
+        if ":" in body.split('"', 1)[0]:
+            fld, body = body.split(":", 1)
+        q = parse_complex_phrase(body.strip().strip('"'), field=fld.strip())
     if isinstance(q, str) and q.startswith("{!boost"):
         # {!boost b=func}query (`[U] solr/core/.../search/
         # BoostQParserPlugin.java` -> FunctionScoreQuery): relevance
@@ -189,8 +205,9 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
             mm=int(params.get("mm", 1)))
     else:
         base_scored = idx.score_all(
-            parse_query(q, analyzer=idx.manifest.analyzer,
-                        default_op=str(params.get("q.op", "OR"))))
+            q if not isinstance(q, str)
+            else parse_query(q, analyzer=idx.manifest.analyzer,
+                             default_op=str(params.get("q.op", "OR"))))
     # each fq's doc-id set is built ONCE and reused by both the match
     # set and any facet domain that keeps it (id-only semi-joins)
     fq_sets = [(tag, _fq_ids(idx, f)) for tag, f in fq_specs]
@@ -358,7 +375,9 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
 
         if source is None:
             raise ValueError("hl.fl needs the stored-field source DataFrame")
-        terms = tokenize(q, idx.manifest.analyzer)
+        terms = (tokenize(q, idx.manifest.analyzer) if isinstance(q, str)
+                 else [p for p in getattr(q, "parts", ())
+                       if isinstance(p, str)])  # complexphrase: literals
         hits = docs.select("doc_id").join(
             source.select("doc_id", hfl), "doc_id", "left")
         highlighting = highlight(hits, hfl, terms).select("doc_id", "snippets")

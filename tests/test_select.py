@@ -334,3 +334,30 @@ def test_multiselect_facet_tag_exclusion(idx):
     assert ex_counts["en"] == in_counts["en"]  # same en count either way
     # the PAGE always honors every fq, exclusion affects facets only
     assert all(x["lang"] == "en" for x in r.docs.collect())
+
+
+def test_select_complexphrase(spark, tmp_path):
+    """{!complexphrase} through /select: wildcard slots expand at
+    search time; inOrder=false is rejected."""
+    import pytest as _pytest
+
+    from lucene_solr_spark.operators.build import build_index
+    from lucene_solr_spark.operators.search import IndexReader
+    from lucene_solr_spark.operators.select import solr_select
+
+    docs = [(0, "john smith here"), (1, "joan smyth here"),
+            (2, "smith john here")]
+    df = spark.createDataFrame(
+        [(i, t, "r", f"p/{i}", "c", "en") for i, t in docs],
+        "doc_id long, content string, repo string, path string, "
+        "commit string, lang string")
+    d = str(tmp_path / "cpsel")
+    build_index(spark, df, d, docs_per_seg=2)
+    idx = IndexReader(spark, d)
+
+    resp = solr_select(idx, {"q": '{!complexphrase}content:"jo* sm*"',
+                             "rows": 5})
+    got = sorted(r["doc_id"] for r in resp.docs.collect())
+    assert got == [0, 1]      # ordered adjacency: doc 2 reversed
+    with _pytest.raises(ValueError):
+        solr_select(idx, {"q": '{!complexphrase inOrder=false}"a b"'})

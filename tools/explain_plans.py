@@ -114,6 +114,25 @@ def main() -> None:
         "edit-distance neighbors the vocabulary holds.",
     )
 
+    # 1c. span family column pruning: SpanOr is tf-only (pos blobs
+    # pruned), SpanNot ships pos for exactly its two terms
+    from lucene_solr_spark.plans.query import SpanNotQuery, SpanOrQuery
+
+    add(
+        "SpanOr (tf-only span union) — postings scan",
+        idx._per_segment(SpanOrQuery(("spark", "merge")), 10, "exhaustive"),
+        "Expect: ReadSchema WITHOUT pos/blk_pos_off — SpanOr counts "
+        "spans from tfs alone, so the bulkiest blobs never move.",
+    )
+    add(
+        "SpanNot (position veto) — postings scan",
+        idx._per_segment(SpanNotQuery("spark", "merge", pre=1, post=1),
+                         10, "exhaustive"),
+        "Expect: term IN (spark, merge) pushdown and ReadSchema WITH "
+        "pos — the veto window needs positions, decoded two-phase only "
+        "for docs holding both terms.",
+    )
+
     # 2. facet agg: partial/final hash aggregate, codegen
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     add(

@@ -1061,7 +1061,7 @@ class IndexReader:
         if weights or phrase_weights:
             cols += ["tfs", "norms", "blk_first", "blk_last",
                      "blk_max_tf", "blk_min_norm", "blk_doc_off", "blk_tf_off"]
-        if phrase_weights or _contains_spanfirst(q):
+        if _needs_positions(q):
             cols += ["pos", "blk_pos_off"]
         src = src.select(*cols)
         if has_matchall:
@@ -1455,18 +1455,20 @@ class IndexReader:
             "pos long, first string, second string, combined string, df long")
 
 
-def _contains_spanfirst(q: Query) -> bool:
-    """True when the tree holds a position-consuming span node
-    (SpanFirst / SpanNot — SpanOr is tf-only) so the pos blobs must
-    ship with the scan."""
-    if isinstance(q, (SpanFirstQuery, SpanNotQuery)):
+def _needs_positions(q: Query) -> bool:
+    """True when the tree holds a position-consuming node — phrases
+    and the SpanFirst/SpanNot filters — so the pos blobs (the bulkiest
+    postings column) must ship with the scan. SpanOr is deliberately
+    absent: it counts spans from tfs alone."""
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery,
+                      SpanFirstQuery, SpanNotQuery)):
         return True
     if isinstance(q, ConstantScoreQuery):
-        return _contains_spanfirst(q.query)
+        return _needs_positions(q.query)
     if isinstance(q, DisjunctionMaxQuery):
-        return any(_contains_spanfirst(c) for c in q.clauses)
+        return any(_needs_positions(c) for c in q.clauses)
     if isinstance(q, BooleanQuery):
-        return any(_contains_spanfirst(c)
+        return any(_needs_positions(c)
                    for c in q.should + q.must + q.must_not)
     return False
 

@@ -423,3 +423,23 @@ def test_spanor_spannot_semantics(spark, tmp_path):
     # SpanOr freq: doc0 has a*3 + b*1 = 4 spans; doc4 has 3; doc2 has 3
     so = idx.search(SpanOrQuery(("a", "b")), k=10)
     assert {r["doc_id"] for r in so.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_needs_positions_gate():
+    """The pos-blob column gate ships positions ONLY for
+    position-consuming nodes; SpanOr and plain scoring stay pos-free."""
+    from lucene_solr_spark.operators.search import _needs_positions
+    from lucene_solr_spark.plans.query import (
+        BooleanQuery, DisjunctionMaxQuery, MultiPhraseQuery, PhraseQuery,
+        SpanFirstQuery, SpanNotQuery, SpanOrQuery, TermQuery)
+
+    assert not _needs_positions(TermQuery("a"))
+    assert not _needs_positions(SpanOrQuery(("a", "b")))
+    assert _needs_positions(PhraseQuery(("a", "b")))
+    assert _needs_positions(MultiPhraseQuery((("a",), ("b",))))
+    assert _needs_positions(SpanFirstQuery("a", 3))
+    assert _needs_positions(SpanNotQuery("a", "b"))
+    assert _needs_positions(BooleanQuery(
+        should=(TermQuery("c"), PhraseQuery(("a", "b")))))
+    assert not _needs_positions(DisjunctionMaxQuery(
+        (TermQuery("a"), SpanOrQuery(("b",)))))

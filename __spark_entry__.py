@@ -1867,6 +1867,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ttf is ONE pushdown-pruned agg over the pre-summed cum_tf column,
     # sttf/maxdoc are manifest metadata, idf the shared Lucene-8 float64
     q["fq_stats_sources"] = _fq_stats_sources
+    # Luke handler digest (`[U] solr/core/.../handler/admin/
+    # LukeRequestHandler.java`): index-level stats — numDocs, distinct
+    # term count, sumTotalTermFreq — one pushdown-pruned postings agg
+    # plus manifest metadata, no blob reads
+    q["luke_index_stats"] = lambda s, sf: (lambda idx: s.createDataFrame(
+        [(idx.doc_count,
+          idx.postings.select(F.countDistinct("term")).collect()[0][0],
+          idx.sum_dl)],
+        "num_docs long, n_terms long, sum_dl long"))(_index_for(s, sf))
     # payload(field,'term'[,default[,'func']]) over a delimited-payload
     # field (DelimitedPayloadTokenFilter float decoder)
     q["fq_payload"] = _fq_payload
@@ -3789,6 +3798,19 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE tf > 0
         """,
         "fq_payload": _FQ_PAYLOAD_SQL,
+        "luke_index_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS num_docs,
+                   CAST((SELECT COUNT(DISTINCT t)
+                         FROM (SELECT unnest(tk) AS t FROM toks)) AS BIGINT)
+                     AS n_terms,
+                   CAST(SUM(len(tk)) AS BIGINT) AS sum_dl
+            FROM toks
+        """,
         # corpus-stat value sources: same tokenization as fq_termfreq;
         # idf is the Lucene-8 formula in double, rounded like the entry
         "fq_stats_sources": """

@@ -1839,6 +1839,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _index_for(s, sf).more_like_this(
             "spark merge vector partition batch window", k=10)
     )
+    # MLT interestingTerms=details: the selected terms with tf*idf
+    # selection scores (float64, ROUND 6)
+    q["mlt_interesting_terms"] = lambda s, sf: s.createDataFrame(
+        [(t, round(sc, 6)) for t, sc in
+         _index_for(s, sf).more_like_this_terms(
+             "spark merge vector partition batch window")],
+        "term string, score_r double")
     q["suggest_terms"] = lambda s, sf: s.createDataFrame(
         _index_for(s, sf).suggest("s", n=10), "term string, df long"
     )
@@ -3215,6 +3222,25 @@ def oracle_sql() -> dict[str, str]:
         # (all tf=1 here; min_doc_freq=2 keeps every corpus term at this
         # corpus size, 'partition' is out-of-vocabulary) and runs the
         # sorted disjunction — the float32 oracle applies verbatim
+        "mlt_interesting_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            td AS (SELECT t AS term, COUNT(DISTINCT doc_id) AS df
+                   FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM toks),
+            probe(term) AS (VALUES ('spark'), ('merge'), ('vector'),
+                                   ('partition'), ('batch'), ('window')),
+            sc AS (SELECT p.term,
+                          ln(1 + ((SELECT n_docs FROM n) - td.df + 0.5)
+                               / (td.df + 0.5)) AS s
+                   FROM probe p JOIN td ON p.term = td.term
+                   WHERE td.df >= 2)
+            SELECT term, ROUND(s, 6) AS score_r
+            FROM sc ORDER BY s DESC, term LIMIT 25
+        """,
         "mlt_similar": _bm25_sql_disjunction(
             [(t, 1.0) for t in sorted(["spark", "merge", "vector", "batch",
                                        "window"])]),

@@ -1301,6 +1301,28 @@ class IndexReader:
     def more_like_this(self, text: str, k: int = 10, **kw) -> DataFrame:
         return self.search(self.more_like_this_query(text, **kw), k=k)
 
+    def more_like_this_terms(self, text: str, max_query_terms: int = 25,
+                             min_doc_freq: int = 2,
+                             min_term_freq: int = 1) -> List[Tuple[str, float]]:
+        """MLT ``interestingTerms=details`` (`[U] lucene/queries/.../mlt/
+        MoreLikeThis.java :: retrieveInterestingTerms`): the selected
+        query terms with their tf*idf selection scores, ranked
+        (score desc, term asc) — same selection as
+        more_like_this_query, float64 like its sort key."""
+        from collections import Counter
+
+        from ..analysis import tokenize
+
+        tf = Counter(tokenize(text, self.manifest.analyzer))
+        dfs = self.global_dfs([t for t, c in tf.items() if c >= min_term_freq])
+        scored = [
+            (c * float(idf_fn(dfs[t], self.doc_count)), t)
+            for t, c in tf.items()
+            if t in dfs and dfs[t] >= min_doc_freq and c >= min_term_freq
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [(t, sc) for sc, t in scored[:max_query_terms]]
+
     # -- suggester (`[U] lucene/suggest/` analog): most-frequent terms
     # under a prefix, ranked by docFreq desc then term.
     def suggest(self, prefix: str, n: int = 10) -> List[Tuple[str, int]]:

@@ -84,8 +84,13 @@ def delimited_payloads(text: Column, term: str, delimiter: str = "|") -> Column:
     column functions (filter/transform), so the whole decode stays
     inside whole-stage codegen — no UDF, no shuffle."""
     toks = F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+    # a token without the delimiter carries NO payload attribute and
+    # contributes nothing (DelimitedPayloadTokenFilter leaves the
+    # attribute unset) — require the delimiter so a bare `term` token
+    # can't inject a NULL into the payload stream
     hits = F.filter(
-        toks, lambda t: F.substring_index(t, delimiter, 1) == F.lit(term))
+        toks, lambda t: (F.substring_index(t, delimiter, 1) == F.lit(term))
+        & t.contains(delimiter))
     return F.transform(
         hits, lambda t: F.substring_index(t, delimiter, -1).cast("double"))
 

@@ -252,7 +252,7 @@ def test_payload_value_source(spark):
     import pytest as _pytest
 
     df = spark.createDataFrame(
-        [(0, "a|1.0 b|2.0 a|4.0"), (1, "b|3.5"), (2, "a|0.5")],
+        [(0, "a|1.0 b|2.0 a|4.0"), (1, "b|3.5"), (2, "a a|0.5")],
         "doc_id long, ptext string")
     out = {r["doc_id"]: r for r in df.select(
         "doc_id",

@@ -825,6 +825,47 @@ def _bm25_sql_spanfirst(term: str, end: int, k: int = 10, chain: str = "tk0", dl
             + ctes + _bm25_rank_tail(scored, k))
 
 
+def _bm25_sql_sloppy(t1: str, t2: str, slop: int, k: int = 10,
+                     boost: float = 1.0, chain: str = "tk0",
+                     dl: str = "len(tk)",
+                     src_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """Two-term ORDERED sloppy phrase oracle — the EXACT semantics of
+    the shared plans.query.sloppy_phrase_freq kernel (NearSpansOrdered
+    minimal spans): for each t1 occurrence a, take the FIRST t2
+    occurrence b > a; if b-a-1 <= slop it contributes
+    sloppyFreq = 1/(b-a), summed left-to-right in float64
+    (list_reduce) exactly like the kernel's += loop (validated
+    bit-identical on randomized position lists). Weight = phrase
+    weight (boost * Σ idf in phrase order)."""
+    ctes = (_bm25_term_ctes(0, t1, 1.0) + _bm25_term_ctes(1, t2, 1.0))
+    idf_of = ["ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM d{i}) + 0.5)"
+              " / ((SELECT df FROM d{i}) + 0.5))".format(i=i) for i in (0, 1)]
+    idf_sum = " + ".join(idf_of)
+    ctes += f""",
+    pp AS (SELECT doc_id, c,
+             [i FOR i IN range(1, len(tk)+1) IF tk[i] = '{t1}'] AS pa,
+             [i FOR i IN range(1, len(tk)+1) IF tk[i] = '{t2}'] AS pb
+           FROM cache),
+    ff AS (SELECT doc_id, c,
+             [CAST(1.0 AS DOUBLE) / (list_min(list_filter(pb, j -> j > i)) - i)
+              FOR i IN pa
+              IF len(list_filter(pb, j -> j > i)) > 0
+                 AND list_min(list_filter(pb, j -> j > i)) - i - 1 <= {slop}]
+               AS cs
+           FROM pp)"""
+    scored = f"""SELECT doc_id,
+             CAST({boost!r} * ({idf_sum}) AS REAL)
+             * CAST(tf AS REAL) / (CAST(tf AS REAL) + c) AS sc
+      FROM (SELECT doc_id, c,
+                   CASE WHEN len(cs) = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE list_reduce(cs, (x, y) -> x + y) END AS tf
+            FROM ff)
+      WHERE tf > 0"""
+    return (_BM25_PRELUDE.format(ranges=_byte4_ranges(), chain=chain,
+                                 src=src_sql, dl=dl) + ctes
+            + _bm25_rank_tail(scored, k))
+
+
 def _bm25_sql_spanor(terms, k: int = 10, boost: float = 1.0,
                      chain: str = "tk0", dl: str = "len(tk)",
                      src_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -1276,6 +1317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, sf, qp.parse_complex_phrase("s* table"))
     q["complexphrase_fuzzy_topk"] = lambda s, sf: _bm25(
         s, sf, qp.parse_complex_phrase("sort~2 key"))
+    # ordered sloppy phrase ("spark merge"~2): NearSpansOrdered minimal
+    # spans, sloppyFreq = Σ 1/(1+matchLength) via the SHARED
+    # sloppy_phrase_freq kernel — first driver-oracled slop>0 entry
+    q["bm25_sloppy_phrase_topk"] = lambda s, sf: _bm25(
+        s, sf, '"spark merge"~2')
     q["bm25_prefix_topk"] = lambda s, sf: _bm25(s, sf, "spar*")
     q["bm25_wildcard_topk"] = lambda s, sf: _bm25(s, sf, "w?ndow")
     q["bm25_fuzzy_topk"] = lambda s, sf: _bm25(s, sf, "spark~1")
@@ -2873,6 +2919,7 @@ def oracle_sql() -> dict[str, str]:
             [("spark", 1.0), ("merge", 1.0), ("join", 1.0)]),
         "bm25_simple_phrase": _bm25_sql_phrase(["batch", "batch"]),
         "bm25_spanfirst_topk": _bm25_sql_spanfirst("spark", 5),
+        "bm25_sloppy_phrase_topk": _bm25_sql_sloppy("spark", "merge", 2),
         "bm25_spanor_topk": _bm25_sql_spanor(("spark", "merge")),
         "bm25_spannot_topk": _bm25_sql_spannot("spark", "merge", 1, 1),
         "bm25_simple_boost": _bm25_sql_disjunction(

@@ -2087,13 +2087,16 @@ _WINDOW_ORDER = [
     # never-graded: dedup/text-analysis depth + the NEW XML loader seam
     "signature_dedup", "text_repetition", "ingest_xml_roundtrip",
     # never-graded: function-query family (fq_ms_ord/fq_strdist left
-    # out — the ord/strdist shapes are same-class with the four below;
+    # out — the ord/strdist shapes are same-class with the three below;
+    # fq_haversine yields its slot too — the geo family already has
+    # driver-green fq_geofilt (r4) and fq_bbox stays in;
     # fq_payload is the NEW payload() value-source class)
-    "fq_scale", "fq_haversine", "fq_bbox", "fq_query_boost",
+    "fq_scale", "fq_bbox", "fq_query_boost",
     "fq_payload",
     # NEW this session: {!complexphrase} wildcard-slot phrase (the
-    # fuzzy-slot twin stays replica-only, same expansion class)
-    "complexphrase_wild_topk",
+    # fuzzy-slot twin stays replica-only, same expansion class) and the
+    # first driver-oracled slop>0 ranking entry
+    "complexphrase_wild_topk", "bm25_sloppy_phrase_topk",
     # never-graded: multimodal (real codecs + the frame plumbing;
     # mm_image_meta/resize/audio_features are same-kernel synthetic
     # twins of the in-window real-codec rows)

@@ -1435,6 +1435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, sf, "orders").select(F.col("o_custkey").alias("c_custkey")),
         ["c_custkey"],
     )
+    # {!join from= to=} QParser (JoinUtil ScoreMode.None): customers
+    # holding at least one qualifying order — distinct-keys semi join
+    q["join_qparser_customers"] = lambda s, sf: sp.join_query(
+        "{!join from=o_custkey to=c_custkey}o_totalprice:[300000 TO *]",
+        _t(s, sf, "orders"), _t(s, sf, "customer")
+    ).select("c_custkey", "c_name", "c_nationkey")
     q["hash_join_orders_cust"] = lambda s, sf: sx.rollup_stream(
         sx.hash_join_stream(
             _t(s, sf, "orders"),
@@ -3675,6 +3681,11 @@ def oracle_sql() -> dict[str, str]:
         "complement_stream_cust": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "join_qparser_customers": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice >= 300000)
         """,
         "hash_join_orders_cust": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,

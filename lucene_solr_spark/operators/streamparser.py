@@ -221,6 +221,22 @@ def _q_filter(df: DataFrame, q: str) -> DataFrame:
     raise StreamExprError(f"unsupported q syntax {q!r}")
 
 
+def join_query(text: str, from_df: DataFrame, to_df: DataFrame) -> DataFrame:
+    """``{!join from=F to=T}body`` (`[U] solr/core/.../search/
+    JoinQParserPlugin.java`, default ScoreMode.None — JoinUtil's none
+    mode): to-side docs whose T value appears among the F values of
+    from-side docs matching the body query. Distinct join keys then a
+    left-semi join — Catalyst broadcasts the key set when small, so
+    the big to-side never shuffles."""
+    from ..functions.funcparser import parse_local_params
+
+    qtype, lp, body = parse_local_params(text)
+    if qtype != "join":
+        raise StreamExprError(f"not a {{!join}} query: {text!r}")
+    matched = _q_filter(from_df, body or "*:*")
+    return sx.join_scored(matched, to_df, lp["from"], lp["to"], mode="none")
+
+
 def _sort_cols(spec: str) -> List[Column]:
     cols = []
     for part in spec.split(","):

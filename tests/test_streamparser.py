@@ -192,3 +192,24 @@ def test_cartesian_product_stream(spark):
     rows = sorted((r["id"], r["vals"]) for r in out.collect())
     assert rows == [(1, "a"), (1, "b"), (2, "c")]
     assert dict(out.dtypes)["vals"] == "string"
+
+
+def test_join_qparser(spark):
+    """{!join from=F to=T}body: to-side docs whose T appears among F
+    values of from-side docs matching body (ScoreMode.None)."""
+    import pytest as _pytest
+
+    from lucene_solr_spark.operators.streamparser import (
+        StreamExprError, join_query)
+
+    frm = spark.createDataFrame(
+        [(1, 10.0), (1, 500.0), (2, 40.0), (3, 999.0)],
+        "k long, v double")
+    to = spark.createDataFrame([(1,), (2,), (3,), (4,)], "ck long")
+    out = join_query("{!join from=k to=ck}v:[100 TO *]", frm, to)
+    assert sorted(r["ck"] for r in out.collect()) == [1, 3]
+    # empty body matches everything
+    out_all = join_query("{!join from=k to=ck}", frm, to)
+    assert sorted(r["ck"] for r in out_all.collect()) == [1, 2, 3]
+    with _pytest.raises(StreamExprError):
+        join_query("{!terms f=ck}1", frm, to)

@@ -1402,6 +1402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_contains_exclude"] = lambda s, sf: sx.facet_field(
         _docs(s, sf), "lang", contains="e", exclude_terms=["en"]
     )
+    # StatsComponent over a STRING field: lexicographic min/max,
+    # count, missing, countDistinct
+    q["stats_string_segment"] = lambda s, sf: sx.stats_string(
+        _t(s, sf, "customer"), "c_mktsegment")
     q["stats_quantity"] = lambda s, sf: _t(s, sf, "lineitem").agg(
         F.min("l_quantity").alias("min_q"),
         F.max("l_quantity").alias("max_q"),
@@ -3650,6 +3654,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
                    COUNT(CASE WHEN value > 50.0 THEN 1 END) AS big_value
             FROM events
+        """,
+        "stats_string_segment": """
+            SELECT MIN(c_mktsegment) AS min_v, MAX(c_mktsegment) AS max_v,
+                   CAST(COUNT(c_mktsegment) AS BIGINT) AS cnt,
+                   CAST(COUNT(CASE WHEN c_mktsegment IS NULL THEN 1 END)
+                        AS BIGINT) AS missing,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS distinct_v
+            FROM customer
         """,
         "stats_quantity": """
             SELECT MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,

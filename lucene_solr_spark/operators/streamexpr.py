@@ -335,6 +335,21 @@ def stats_component(df: DataFrame, fld: str) -> DataFrame:
     )
 
 
+def stats_string(df: DataFrame, fld: str) -> DataFrame:
+    """StatsComponent over a STRING field (`[U] solr/core/.../handler/
+    component/StatsComponent.java` — string fields report lexicographic
+    min/max, count, missing and countDistinct; the numeric bundle stays
+    in stats_component)."""
+    c = F.col(fld)
+    return df.agg(
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.count(c).cast("long").alias("cnt"),
+        F.count(F.when(c.isNull(), F.lit(1))).cast("long").alias("missing"),
+        F.countDistinct(c).cast("long").alias("distinct_v"),
+    )
+
+
 def facet_field_stats(df: DataFrame, fld: str, *aggs: Column,
                       limit: int = 100, min_count: int = 1) -> DataFrame:
     """JSON Facet API nested aggregates (`[U] solr/core/.../search/facet/

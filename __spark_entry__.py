@@ -1862,6 +1862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda s, sf: sim.lsh_bucket_topk(
         _t(s, sf, "embeddings"), sim.fixed_query_vector(64), k=10
     ).select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+    # Product Quantization (FAISS IndexPQ shape): ADC top-k over the
+    # 8-byte codes column — the raw vectors never read at query time
+    q["ann_pq_topk"] = lambda s, sf: sim.pq_search(
+        s, _pq_index_for(s, sf), sim.fixed_query_vector(64), k=10
+    ).select("vec_id", F.round("adist", 6).alias("adist_r"))
 
     # ---- text analysis
     q["text_token_count"] = lambda s, sf: tp.token_count(_docs(s, sf), "text")
@@ -2833,6 +2838,17 @@ def _ivf_index_for(s: SparkSession, sf: str) -> str:
     d = os.path.join(WORK_DIR, f"ivf2_v{INDEX_FORMAT_VERSION}_{tag}")
     if not sim.ivf_complete(d):
         sim.ivf_build(_t(s, sf, "embeddings"), d, n_clusters=8, iters=3)
+    return d
+
+
+def _pq_index_for(s: SparkSession, sf: str) -> str:
+    """Materialized Product-Quantization index (codes + codebooks
+    sidecar), built ONCE per sf — the FAISS IndexPQ offline/online
+    split; see similarity.pq_build for the compression story."""
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"pq_v{INDEX_FORMAT_VERSION}_{tag}")
+    if not sim.pq_complete(d):
+        sim.pq_build(_t(s, sf, "embeddings"), d, m=8, ksub=16, iters=3)
     return d
 
 
@@ -4220,9 +4236,25 @@ def _ann_oracle_sqls() -> dict:
         for c in np.unique(a4)
     )
     values = ",".join(f"({c},{s},{m})" for c, s, m in digest)
+
+    # Product Quantization: the full shared-kernel replay — per-block
+    # codebooks (pq_fit_local over the same lowest-id sample), encode,
+    # ADC in block order (pq_adc_local, float64 op-order-identical to
+    # the JVM literal-LUT sum), top-10 as literal rows
+    cb = sim.pq_fit_local(mat[:cl.DEFAULT_TRAIN_SAMPLE], 8, 16, 3)
+    pq_codes = sim.pq_encode_local(mat, cb)
+    ad = sim.pq_adc_local(q, pq_codes, cb)
+    top = sorted(zip(ad, ids))[:10]
+    pq_values = ",".join(f"({int(i)},{repr(float(d))})" for d, i in top)
+    pq_sql = f"""
+        SELECT CAST(v AS BIGINT) AS vec_id,
+               ROUND(CAST(d AS DOUBLE), 6) AS adist_r
+        FROM (VALUES {pq_values}) t(v, d)
+    """
     return {
         "ann_ivf_topk": _topk_sql(ivf_cand),
         "ann_lsh_topk": _topk_sql(lsh_cand),
+        "ann_pq_topk": pq_sql,
         "cluster_kmeans_summary": f"""
             SELECT CAST(c AS INTEGER) AS cluster, CAST(s AS BIGINT) AS size,
                    CAST(m AS BIGINT) AS min_id

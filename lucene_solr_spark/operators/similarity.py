@@ -43,6 +43,13 @@ __all__ = [
     "ivf_build",
     "ivf_centroids",
     "ivf_search",
+    "pq_fit_local",
+    "pq_encode_local",
+    "pq_adc_local",
+    "pq_build",
+    "pq_codebooks",
+    "pq_complete",
+    "pq_search",
     "embedding_near_dup_pairs",
     "exact_near_dup_pairs",
 ]
@@ -168,6 +175,155 @@ def ivf_search(spark, path: str, qvec: Sequence[float], k: int = 10,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_fit_local(mat: np.ndarray, m: int = 8, ksub: int = 16,
+                 iters: int = 3) -> np.ndarray:
+    """Product-Quantization codebooks — (m, ksub, dsub): the vector
+    splits into ``m`` contiguous sub-blocks, each with its own
+    deterministic Lloyd codebook (the SHARED clustering.kmeans_fit_local
+    kernel per block, so engine and oracle fit bit-identically). The
+    FAISS PQ training shape (`IndexPQ`): independent sub-quantizers,
+    no RNG."""
+    from .clustering import kmeans_fit_local
+
+    mat = np.asarray(mat, dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return np.stack([
+        kmeans_fit_local(mat[:, j * dsub:(j + 1) * dsub], ksub, iters)
+        for j in range(m)
+    ])
+
+
+def pq_encode_local(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """numpy replica of the distributed encode: per block, nearest
+    codeword index (first-min tie-break) — bit-identical to the JVM
+    argmin by the same shared assign_local kernel."""
+    from .clustering import assign_local
+
+    mat = np.asarray(mat, dtype=np.float64)
+    m, _, dsub = codebooks.shape
+    return np.stack([
+        assign_local(mat[:, j * dsub:(j + 1) * dsub], codebooks[j])
+        for j in range(m)
+    ], axis=1).astype(np.int64)
+
+
+def pq_adc_local(q: np.ndarray, codes: np.ndarray,
+                 codebooks: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance replica: per-block distance table
+    dt[j][c] = ||q_j - codebook[j][c]||^2 (the shared left-to-right
+    accumulation), approx distance = Σ_j dt[j][code_j] accumulated in
+    block order — the same float64 op order the JVM sum uses."""
+    from .clustering import _dist2_local
+
+    q = np.asarray(q, dtype=np.float64)
+    m, ksub, dsub = codebooks.shape
+    dt = np.stack([
+        _dist2_local(codebooks[j], q[j * dsub:(j + 1) * dsub])
+        for j in range(m)
+    ])
+    acc = dt[0][codes[:, 0]]
+    for j in range(1, m):
+        acc = acc + dt[j][codes[:, j]]
+    return acc
+
+
+def _dist2_col(vec, centroid) -> "F.Column":
+    """Squared L2 of an array Column to a literal centroid — the same
+    zip_with + left-fold the clustering kernel uses, over any Column
+    (here: F.slice sub-vectors)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_build(df: DataFrame, path: str, m: int = 8, ksub: int = 16,
+             iters: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> np.ndarray:
+    """Build a MATERIALIZED Product-Quantization index (FAISS `IndexPQ`
+    on parquet): fit the sub-quantizer codebooks once on the
+    deterministic lowest-id sample, encode the whole corpus with pure
+    JVM expressions — per block an argmin over ``ksub`` squared-L2
+    aggregate columns on a `slice` of the vector, the exact
+    kmeans_assign shape — and write ONLY (id, codes array<int>) plus a
+    temp-then-renamed codebooks sidecar (the atomic-commit discipline
+    of ivf_build).
+
+    The 100-TB story is compression: m log2(ksub) bits per vector
+    (8 bytes here vs 256 for the raw float32[64]) — the codes table is
+    ~3% of the corpus, so ADC scans touch 1/32 of the bytes and the
+    raw vectors are read only to re-rank a candidate page."""
+    import json
+    import os
+
+    from .clustering import DEFAULT_TRAIN_SAMPLE
+
+    rows = (df.orderBy(id_col).limit(DEFAULT_TRAIN_SAMPLE)
+            .select(vec_col).collect())
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    codebooks = pq_fit_local(mat, m, ksub, iters)
+    dsub = mat.shape[1] // m
+
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        dists = F.array(*[_dist2_col(sub, c) for c in codebooks[j]])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    (df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+       .write.mode("overwrite").parquet(path))
+    tmp = os.path.join(path, "_pq_codebooks.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(codebooks.tolist(), f)
+    os.replace(tmp, os.path.join(path, "_pq_codebooks.json"))
+    return codebooks
+
+
+def pq_complete(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, "_pq_codebooks.json"))
+
+
+def pq_codebooks(path: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_codebooks.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
+
+
+def pq_search(spark, path: str, qvec: Sequence[float], k: int = 10,
+              id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k against a materialized PQ index: the per-block
+    distance tables (m x ksub doubles) are computed driver-side and
+    inlined as literal arrays; the approximate distance is m
+    element_at lookups summed in block order — whole-stage codegen
+    over the 8-byte codes column, the raw vectors never read. Exact
+    re-rank of the returned page is the caller's choice (join the k
+    candidate ids back to the vector table)."""
+    q = np.asarray(list(qvec), dtype=np.float64)
+    codebooks = pq_codebooks(path)
+    m, ksub, dsub = codebooks.shape
+    from .clustering import _dist2_local
+
+    dt = [_dist2_local(codebooks[j], q[j * dsub:(j + 1) * dsub])
+          for j in range(m)]
+    codes = spark.read.parquet(path)
+    adist = None
+    for j in range(m):
+        lut = F.array(*[F.lit(float(x)) for x in dt[j]])
+        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
+        adist = term if adist is None else adist + term
+    return (codes.select(F.col(id_col), adist.alias("adist"))
+            .orderBy(F.asc("adist"), F.asc(id_col)).limit(k))
 
 
 def cosine_knn_join(targets: DataFrame, probes: DataFrame, k: int = 5,

@@ -191,3 +191,41 @@ def test_ivf_build_atomic_completeness_gate(spark, tmp_path):
         assert sim.ivf_complete(path2)
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    """Product Quantization: the JVM encode (slice + argmin over
+    squared-L2 aggregates) is bit-identical to the shared numpy
+    kernels, and ADC search ranks exactly like the local replay."""
+    import numpy as np
+
+    from lucene_solr_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    mat = rng.rand(40, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    d = str(tmp_path / "pq")
+    cb = sim.pq_build(df, d, m=4, ksub=4, iters=2)
+    assert cb.shape == (4, 4, 4)
+    assert sim.pq_complete(d)
+
+    codes_spark = {r["vec_id"]: list(r["codes"])
+                   for r in spark.read.parquet(d).collect()}
+    codes_local = sim.pq_encode_local(mat.astype(np.float64), cb)
+    for i in range(40):
+        assert codes_spark[i] == list(codes_local[i]), i
+
+    q = mat[7].astype(np.float64)
+    got = [(r["vec_id"], r["adist"])
+           for r in sim.pq_search(spark, d, q, k=5).collect()]
+    ad = sim.pq_adc_local(q, codes_local, cb)
+    expect = sorted(zip(ad, range(40)))[:5]
+    assert [g[0] for g in got] == [i for _, i in expect]
+    assert np.allclose([g[1] for g in got], [d_ for d_, _ in expect],
+                       rtol=0, atol=0)   # bit-identical float64
+    # the query's own vector shares the minimal-distance code cells —
+    # it must appear in the page (equal quantized distances tie-break
+    # by id, so another same-cell vector may rank first)
+    assert 7 in [g[0] for g in got]

@@ -2097,8 +2097,10 @@ _WINDOW_ORDER = [
     "blockjoin_parent_filter", "blockjoin_child_filter",
     # never-graded: spellcheck/suggest depth
     "spellcheck_collate", "suggest_infix",
-    # never-graded: local-params filters + terms component
-    "frange_orders", "terms_filter_parts", "terms_enum_range",
+    # never-graded: local-params filters ({!terms} stays; the /terms
+    # enumeration machinery is also replica-covered by
+    # path_hierarchy_terms) + the NEW Product-Quantization ANN class
+    "frange_orders", "terms_filter_parts", "ann_pq_topk",
     # never-graded: dedup/text-analysis depth + the NEW XML loader seam
     "signature_dedup", "text_repetition", "ingest_xml_roundtrip",
     # never-graded: function-query family (fq_ms_ord/fq_strdist left

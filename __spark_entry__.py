@@ -1867,6 +1867,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_pq_topk"] = lambda s, sf: sim.pq_search(
         s, _pq_index_for(s, sf), sim.fixed_query_vector(64), k=10
     ).select("vec_id", F.round("adist", 6).alias("adist_r"))
+    # the production composition: ADC page (50 candidates, codes-only
+    # scan) -> join raw vectors for ONLY those ids -> exact cosine
+    # re-rank (the FAISS refine/IndexRefineFlat pattern)
+    q["ann_pq_rerank_topk"] = lambda s, sf: (
+        sim.pq_search(s, _pq_index_for(s, sf),
+                      sim.fixed_query_vector(64), k=50)
+        .select("vec_id")
+        .join(_t(s, sf, "embeddings"), "vec_id")
+        .select("vec_id",
+                sim.cosine_expr("embedding",
+                                sim.fixed_query_vector(64)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+        .select("vec_id", F.round("cosine", 4).alias("cosine_r")))
 
     # ---- text analysis
     q["text_token_count"] = lambda s, sf: tp.token_count(_docs(s, sf), "text")
@@ -4253,10 +4266,14 @@ def _ann_oracle_sqls() -> dict:
                ROUND(CAST(d AS DOUBLE), 6) AS adist_r
         FROM (VALUES {pq_values}) t(v, d)
     """
+    # re-rank composition: the top-50 ADC candidate ids, exact cosine
+    # over ONLY those rows (the same _topk_sql the IVF/LSH oracles use)
+    pq_rerank_cand = [i for _, i in sorted(zip(ad, ids))[:50]]
     return {
         "ann_ivf_topk": _topk_sql(ivf_cand),
         "ann_lsh_topk": _topk_sql(lsh_cand),
         "ann_pq_topk": pq_sql,
+        "ann_pq_rerank_topk": _topk_sql(pq_rerank_cand),
         "cluster_kmeans_summary": f"""
             SELECT CAST(c AS INTEGER) AS cluster, CAST(s AS BIGINT) AS size,
                    CAST(m AS BIGINT) AS min_id

@@ -1324,6 +1324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, sf, '"spark merge"~2')
     q["bm25_prefix_topk"] = lambda s, sf: _bm25(s, sf, "spar*")
     q["bm25_wildcard_topk"] = lambda s, sf: _bm25(s, sf, "w?ndow")
+    # TOP_TERMS scoring rewrite: the wildcard expands to a SCORED BM25
+    # disjunction instead of the constant-score bitset
+    q["bm25_wildcard_scored_topk"] = lambda s, sf: _bm25(
+        s, sf, qp.MultiTermQuery(kind="wildcard", pattern="s*",
+                                 scoring_rewrite=True))
     q["bm25_fuzzy_topk"] = lambda s, sf: _bm25(s, sf, "spark~1")
     # leading wildcard over a reversed_wildcard index: rewritten to a
     # marker-prefix scan (ReversedWildcardFilterFactory) — the oracle
@@ -3603,6 +3608,11 @@ def oracle_sql() -> dict[str, str]:
             _cp_slots("sort~2 key")),
         "bm25_prefix_topk": _bm25_sql_constant("t LIKE 'spar%'"),
         "bm25_wildcard_topk": _bm25_sql_constant("regexp_full_match(t, 'w.ndow')"),
+        # scoring rewrite: the sorted matching vocabulary as a plain
+        # BM25 disjunction (same contract as the fuzzy expansion)
+        "bm25_wildcard_scored_topk": _bm25_sql_disjunction(
+            [(t, 1.0) for t in sorted(
+                t for t in _CORPUS_VOCAB if t.startswith("s"))]),
         "bm25_range_topk": _bm25_sql_constant("t >= 'spark' AND t <= 'spars'"),
         "leading_wildcard_topk": _bm25_sql_constant("t LIKE '%ark'"),
         "bm25_fuzzy_topk": _bm25_sql_disjunction(

@@ -867,7 +867,10 @@ class IndexReader:
 
                 q = _dc_replace(
                     q, pattern=REVERSE_MARKER + q.pattern[::-1])
-            if q.kind == "fuzzy":
+            if q.kind == "fuzzy" or q.scoring_rewrite:
+                # scored rewrites (fuzzy always; TOP_TERMS wildcards/
+                # prefixes when requested) expand against the term
+                # dictionary into a bounded BM25 disjunction
                 return expand_multiterm(q, self._matching_terms(q))
             return expand_multiterm(q, [])  # predicate stays in the tree
         if isinstance(q, ComplexPhraseQuery):

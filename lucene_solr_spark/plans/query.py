@@ -203,6 +203,11 @@ class MultiTermQuery:
     hi: str = ""
     include_lo: bool = True
     include_hi: bool = True
+    #: TOP_TERMS scoring rewrite (`[U] .../search/MultiTermQuery.java
+    #: :: TopTermsScoringBooleanQueryRewrite`): expand to a SCORED
+    #: BM25 disjunction of the matching terms instead of the
+    #: constant-score bitset (Solr's rewriteMethod=topTerms)
+    scoring_rewrite: bool = False
 
 
 @dataclass(frozen=True)
@@ -366,7 +371,7 @@ def expand_multiterm(q: MultiTermQuery, matching_terms: List[str]) -> "Query":
     into the postings scan (Catalyst StartsWith/RLike/range filters),
     and the kernel unions matching terms' doc lists per segment — no
     driver-side O(matching terms) anywhere."""
-    if q.kind != "fuzzy":
+    if q.kind != "fuzzy" and not q.scoring_rewrite:
         return ConstantScoreQuery(
             MultiTermQuery(q.kind, q.pattern, q.field, 1.0, q.max_edits,
                            q.max_expansions, q.lo, q.hi,

@@ -1872,6 +1872,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_pq_topk"] = lambda s, sf: sim.pq_search(
         s, _pq_index_for(s, sf), sim.fixed_query_vector(64), k=10
     ).select("vec_id", F.round("adist", 6).alias("adist_r"))
+    # SQ8 scalar quantization: approximate dot-product top-k over the
+    # int8-level codes, decode fused into one codegen fold
+    q["ann_sq8_topk"] = lambda s, sf: sim.sq8_search(
+        s, _sq8_index_for(s, sf), sim.fixed_query_vector(64), k=10
+    ).select("vec_id", F.round("adot", 6).alias("adot_r"))
     # the production composition: ADC page (50 candidates, codes-only
     # scan) -> join raw vectors for ONLY those ids -> exact cosine
     # re-rank (the FAISS refine/IndexRefineFlat pattern)
@@ -2869,6 +2874,17 @@ def _pq_index_for(s: SparkSession, sf: str) -> str:
     d = os.path.join(WORK_DIR, f"pq_v{INDEX_FORMAT_VERSION}_{tag}")
     if not sim.pq_complete(d):
         sim.pq_build(_t(s, sf, "embeddings"), d, m=8, ksub=16, iters=3)
+    return d
+
+
+def _sq8_index_for(s: SparkSession, sf: str) -> str:
+    """Materialized SQ8 index (0..255 codes + ranges sidecar), built
+    ONCE per sf — 4x compression at full dimensionality beside PQ's
+    32x (similarity.sq8_build)."""
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(WORK_DIR, f"sq8_v{INDEX_FORMAT_VERSION}_{tag}")
+    if not sim.sq8_complete(d):
+        sim.sq8_build(_t(s, sf, "embeddings"), d)
     return d
 
 
@@ -4279,11 +4295,25 @@ def _ann_oracle_sqls() -> dict:
     # re-rank composition: the top-50 ADC candidate ids, exact cosine
     # over ONLY those rows (the same _topk_sql the IVF/LSH oracles use)
     pq_rerank_cand = [i for _, i in sorted(zip(ad, ids))[:50]]
+
+    # SQ8: per-dim range fit + encode + approximate dot, all via the
+    # shared kernels, top-10 as literal rows (desc, id tie-break)
+    vmin, vdiff = sim.sq8_fit_local(mat[:cl.DEFAULT_TRAIN_SAMPLE])
+    sq_codes = sim.sq8_encode_local(mat, vmin, vdiff)
+    adot = sim.sq8_score_local(q, sq_codes, vmin, vdiff)
+    sq_top = sorted(zip(-adot, ids))[:10]
+    sq_values = ",".join(f"({int(i)},{repr(float(-d))})" for d, i in sq_top)
+    sq_sql = f"""
+        SELECT CAST(v AS BIGINT) AS vec_id,
+               ROUND(CAST(d AS DOUBLE), 6) AS adot_r
+        FROM (VALUES {sq_values}) t(v, d)
+    """
     return {
         "ann_ivf_topk": _topk_sql(ivf_cand),
         "ann_lsh_topk": _topk_sql(lsh_cand),
         "ann_pq_topk": pq_sql,
         "ann_pq_rerank_topk": _topk_sql(pq_rerank_cand),
+        "ann_sq8_topk": sq_sql,
         "cluster_kmeans_summary": f"""
             SELECT CAST(c AS INTEGER) AS cluster, CAST(s AS BIGINT) AS size,
                    CAST(m AS BIGINT) AS min_id

@@ -50,6 +50,12 @@ __all__ = [
     "pq_codebooks",
     "pq_complete",
     "pq_search",
+    "sq8_fit_local",
+    "sq8_encode_local",
+    "sq8_score_local",
+    "sq8_build",
+    "sq8_complete",
+    "sq8_search",
     "embedding_near_dup_pairs",
     "exact_near_dup_pairs",
 ]
@@ -324,6 +330,106 @@ def pq_search(spark, path: str, qvec: Sequence[float], k: int = 10,
         adist = term if adist is None else adist + term
     return (codes.select(F.col(id_col), adist.alias("adist"))
             .orderBy(F.asc("adist"), F.asc(id_col)).limit(k))
+
+
+def sq8_fit_local(mat: np.ndarray):
+    """SQ8 scalar-quantizer training (the FAISS
+    ``ScalarQuantizer(QT_8bit)`` shape): per-dimension [min, max] from
+    the training sample -> (vmin, vdiff) float64 arrays; degenerate
+    dimensions get vdiff 1 so decode is exact."""
+    mat = np.asarray(mat, dtype=np.float64)
+    vmin = mat.min(axis=0)
+    vdiff = mat.max(axis=0) - vmin
+    vdiff[vdiff == 0.0] = 1.0
+    return vmin, vdiff
+
+
+def sq8_encode_local(mat: np.ndarray, vmin: np.ndarray,
+                     vdiff: np.ndarray) -> np.ndarray:
+    """numpy replica of the JVM encode: clamp to [0,1], round
+    half-away to the 0..255 level (matching Spark ``round``'s
+    HALF_UP on doubles)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    x = (mat - vmin[None, :]) / vdiff[None, :]
+    x = np.clip(x, 0.0, 1.0) * 255.0
+    return np.floor(x + 0.5).astype(np.int64)
+
+
+def sq8_score_local(q: np.ndarray, codes: np.ndarray, vmin: np.ndarray,
+                    vdiff: np.ndarray) -> np.ndarray:
+    """Approximate dot(q, decode(codes)) with the SAME left-to-right
+    per-dimension accumulation the JVM zip_with fold uses."""
+    q = np.asarray(q, dtype=np.float64)
+    acc = np.zeros(len(codes), dtype=np.float64)
+    for d in range(codes.shape[1]):
+        acc = acc + q[d] * (codes[:, d] / 255.0 * vdiff[d] + vmin[d])
+    return acc
+
+
+def sq8_build(df: DataFrame, path: str, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Materialize an SQ8 index: per-dimension ranges fit on the
+    deterministic lowest-id sample, the corpus encoded to an
+    ``array<int>`` of 0..255 levels with pure JVM expressions
+    (transform over zip_with, whole-stage codegen), ranges committed
+    temp-then-rename like the IVF/PQ sidecars. 4x smaller than raw
+    float32 at full dimensionality — the middle ground between raw
+    vectors and PQ's 32x."""
+    import json
+    import os
+
+    from .clustering import DEFAULT_TRAIN_SAMPLE
+
+    rows = (df.orderBy(id_col).limit(DEFAULT_TRAIN_SAMPLE)
+            .select(vec_col).collect())
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    vmin, vdiff = sq8_fit_local(mat)
+    mn = F.array(*[F.lit(float(x)) for x in vmin])
+    dfv = F.array(*[F.lit(float(x)) for x in vdiff])
+    norm01 = F.zip_with(
+        F.zip_with(F.col(vec_col), mn, lambda a, b: a - b),
+        dfv, lambda a, b: a / b)
+    codes = F.transform(
+        norm01,
+        lambda x: F.round(F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
+                          * F.lit(255.0)).cast("int"))
+    (df.select(F.col(id_col), codes.alias("codes"))
+       .write.mode("overwrite").parquet(path))
+    tmp = os.path.join(path, "_sq8_ranges.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump({"vmin": vmin.tolist(), "vdiff": vdiff.tolist()}, f)
+    os.replace(tmp, os.path.join(path, "_sq8_ranges.json"))
+    return vmin, vdiff
+
+
+def sq8_complete(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, "_sq8_ranges.json"))
+
+
+def sq8_search(spark, path: str, qvec: Sequence[float], k: int = 10,
+               id_col: str = "vec_id") -> DataFrame:
+    """Approximate dot-product top-k over the SQ8 codes: decode is an
+    element-wise affine inside one zip_with fold against the literal
+    (q, ranges) arrays — codegen, no UDF, raw vectors never read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_sq8_ranges.json")) as f:
+        r = json.load(f)
+    q = np.asarray(list(qvec), dtype=np.float64)
+    ql = F.array(*[F.lit(float(x)) for x in q])
+    mn = F.array(*[F.lit(float(x)) for x in r["vmin"]])
+    dfv = F.array(*[F.lit(float(x)) for x in r["vdiff"]])
+    codes = spark.read.parquet(path)
+    dec = F.zip_with(
+        F.zip_with(F.col("codes"), dfv, lambda c, d: c / F.lit(255.0) * d),
+        mn, lambda x, b: x + b)
+    dot = F.aggregate(F.zip_with(ql, dec, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (codes.select(F.col(id_col), dot.alias("adot"))
+            .orderBy(F.desc("adot"), F.asc(id_col)).limit(k))
 
 
 def cosine_knn_join(targets: DataFrame, probes: DataFrame, k: int = 5,

@@ -229,3 +229,38 @@ def test_pq_index_roundtrip(spark, tmp_path):
     # it must appear in the page (equal quantized distances tie-break
     # by id, so another same-cell vector may rank first)
     assert 7 in [g[0] for g in got]
+
+
+def test_sq8_index_roundtrip(spark, tmp_path):
+    """SQ8: JVM encode (clamped affine + HALF_UP round) bit-identical
+    to the shared numpy kernel; approximate-dot ranking matches the
+    local replay exactly."""
+    import numpy as np
+
+    from lucene_solr_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(30, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    d = str(tmp_path / "sq8")
+    vmin, vdiff = sim.sq8_build(df, d)
+    assert sim.sq8_complete(d)
+
+    codes_spark = {r["vec_id"]: list(r["codes"])
+                   for r in spark.read.parquet(d).collect()}
+    codes_local = sim.sq8_encode_local(mat.astype(np.float64), vmin, vdiff)
+    for i in range(30):
+        assert codes_spark[i] == list(codes_local[i]), i
+
+    q = mat[3].astype(np.float64)
+    got = [(r["vec_id"], r["adot"])
+           for r in sim.sq8_search(spark, d, q, k=5).collect()]
+    adot = sim.sq8_score_local(q, codes_local, vmin, vdiff)
+    expect = sorted(zip(-adot, range(30)))[:5]
+    assert [g[0] for g in got] == [i for _, i in expect]
+    assert [g[1] for g in got] == [float(-d_) for d_, _ in expect]
+    # 8-bit decode error is tiny relative to the score scale: the true
+    # self-match must be on the page
+    assert 3 in [g[0] for g in got]

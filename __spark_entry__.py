@@ -1140,6 +1140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_spannot_topk"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.SpanNotQuery("spark", "merge", pre=1, post=1), k=10))
+    # SpanOr over a STACKING analyzer: the token and its injected
+    # Soundex code sit at the SAME position yet are distinct spans —
+    # each counts toward freq (UnionPostingsEnum duplicate-position
+    # semantics pinned with an oracle)
+    q["bm25_spanor_phonetic"] = lambda s, sf: _rank_topk(
+        _index_for(s, sf, analyzer="phonetic").search(
+            qp.SpanOrQuery(("spark", "S162")), k=10))
     q["bm25_simple_dismax"] = lambda s, sf: _rank_topk(
         _index_for(s, sf, analyzer="simple").search(
             qp.DisjunctionMaxQuery(
@@ -2987,6 +2994,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sloppy_phrase_topk": _bm25_sql_sloppy("spark", "merge", 2),
         "bm25_spanor_topk": _bm25_sql_spanor(("spark", "merge")),
         "bm25_spannot_topk": _bm25_sql_spannot("spark", "merge", 1, 1),
+        "bm25_spanor_phonetic": _bm25_sql_spanor(
+            ("spark", "S162"), chain=_phonetic_chain(), dl="len(tk0)"),
         "bm25_simple_boost": _bm25_sql_disjunction(
             [("spark", 2.0), ("merge", 1.0)]),
         "ltr_rerank_topk": _ltr_sql("spark", 0.7, 0.1, 0.2),

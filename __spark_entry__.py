@@ -2113,11 +2113,16 @@ _WINDOW_ORDER = [
     "tfidf_disjunction_topk", "bm25_pure_negative",
     # never-graded: facet depth family
     "facet_pivot_stats_orders", "group_ngroups_orders",
-    "facet_range_date_events", "facet_range_other_price",
+    # facet_range_other_price / solr_select_qop_and yield their slots
+    # to the NEW span-query engine code (SpanOr/SpanNot): both are
+    # entry-level variants of driver-green machinery (facet_range
+    # totalprice r4; q.op=AND is the green BooleanQuery path under a
+    # default-op flag), while the span kernels are new this session
+    "facet_range_date_events", "bm25_spanor_topk",
     "facet_prefix_index", "facet_interval_price",
     "facet_heatmap_customers",
     # never-graded: /select facade depth + export + elevation
-    "solr_select_boost", "solr_select_qop_and", "solr_select_sortfunc",
+    "solr_select_boost", "bm25_spannot_topk", "solr_select_sortfunc",
     "export_lineitem_sorted", "elevation_topk",
     "solr_select_elevate_collate",
     # never-graded: streaming-expression text parser fetch + JSON-Facet

@@ -167,7 +167,8 @@ def solr_select(idx, params: Dict, readers: Optional[Dict] = None,
         fld = "content"
         if ":" in body.split('"', 1)[0]:
             fld, body = body.split(":", 1)
-        q = parse_complex_phrase(body.strip().strip('"'), field=fld.strip())
+        q = parse_complex_phrase(body.strip().strip('"'), field=fld.strip(),
+                                 analyzer=idx.manifest.analyzer)
     if isinstance(q, str) and q.startswith("{!boost"):
         # {!boost b=func}query (`[U] solr/core/.../search/
         # BoostQParserPlugin.java` -> FunctionScoreQuery): relevance

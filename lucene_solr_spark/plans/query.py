@@ -403,14 +403,16 @@ _CP_FUZZY_RE = re.compile(r"^(?P<base>[^~*?]+)~(?P<edits>[012])?$")
 
 
 def parse_complex_phrase(body: str, field: str = DEFAULT_FIELD,
-                         boost: float = 1.0,
-                         max_expansions: int = 50) -> ComplexPhraseQuery:
+                         boost: float = 1.0, max_expansions: int = 50,
+                         analyzer: str = "standard") -> ComplexPhraseQuery:
     """Parse the QUOTED-phrase body of a ``{!complexphrase}`` query
     (`[U] lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser
     .java :: ComplexPhraseQuery.parsePhraseElements`): whitespace-split
     slots; ``tok~N`` is a fuzzy slot (default 2 edits), a token holding
     ``*``/``?`` a wildcard slot, anything else a literal term run
-    through the phrase analyzer."""
+    through the FIELD's phrase analyzer (Lucene analyzes phrase
+    elements with the field analyzer — a stemming chain must stem the
+    literal slots)."""
     parts: List[Union[str, MultiTermQuery]] = []
     for tok in body.split():
         m = _CP_FUZZY_RE.match(tok)
@@ -424,8 +426,7 @@ def parse_complex_phrase(body: str, field: str = DEFAULT_FIELD,
                 "wildcard", tok.lower(), field,
                 max_expansions=max_expansions))
         else:
-            toks = tokenize(tok)
-            parts.extend(toks if toks else [])
+            parts.extend(tokenize_for_phrase(tok, analyzer))
     return ComplexPhraseQuery(tuple(parts), field, boost)
 
 

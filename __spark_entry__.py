@@ -288,6 +288,20 @@ def _byte4_ranges() -> str:
     return ",".join(rows)
 
 
+def _byte4_indexed_ranges() -> str:
+    """(byte, lo, hi) rows — the norm byte IS the LENGTH_TABLE index
+    (pinned by smallfloat tests), so the norm() oracle recovers it by
+    range join."""
+    from lucene_solr_spark.functions.smallfloat import LENGTH_TABLE
+
+    tbl = [int(x) for x in LENGTH_TABLE]
+    rows = []
+    for i, lo in enumerate(tbl):
+        hi = tbl[i + 1] if i + 1 < len(tbl) else 1 << 62
+        rows.append(f"({i},{lo},{hi})")
+    return ",".join(rows)
+
+
 #: ``{dl}`` is the per-doc NORM length expression (discountOverlaps:
 #: stacking chains pass ``len(tk0)`` — posIncr-0 twins excluded — while
 #: plain chains use ``len(tk)``); ``sum_dl`` deliberately keeps the
@@ -1977,6 +1991,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # payload(field,'term'[,default[,'func']]) over a delimited-payload
     # field (DelimitedPayloadTokenFilter float decoder)
     q["fq_payload"] = _fq_payload
+    # norm(field) value source: the stored SmallFloat byte4 norm and
+    # the raw dl per doc — pure docmeta scan, no blob reads
+    q["fq_norm"] = lambda s, sf: (
+        _index_for(s, sf, analyzer="simple").norms()
+        .select("doc_id", F.col("norm_byte").cast("long").alias("norm_byte"),
+                F.col("dl").cast("long").alias("dl")))
     q["fq_map_recip_linear"] = lambda s, sf: _t(s, sf, "lineitem").select(
         "l_orderkey", "l_linenumber",
         vs.map_fn(F.col("l_quantity"), 1, 10, 0.0).alias("mapped"),
@@ -3968,6 +3988,17 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE tf > 0
         """,
         "fq_payload": _FQ_PAYLOAD_SQL,
+        "fq_norm": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            nq(b, lo, hi) AS (VALUES {_byte4_indexed_ranges()})
+            SELECT doc_id, CAST(nq.b AS BIGINT) AS norm_byte,
+                   CAST(len(tk) AS BIGINT) AS dl
+            FROM toks JOIN nq ON len(tk) >= nq.lo AND len(tk) < nq.hi
+        """,
         "luke_index_stats": """
             WITH toks AS (
               SELECT doc_id,

@@ -191,7 +191,15 @@ class MultiTermQuery:
     union of matching terms; fuzzy rewrites to a SCORED disjunction of
     the ``max_expansions`` nearest terms ordered by (edit distance,
     term) — deterministic stand-in for Lucene's blended top-terms
-    rewrite, mirrored exactly by the test oracle."""
+    rewrite, mirrored exactly by the test oracle.
+
+    Documented deviation: the edit distance is PLAIN Levenshtein
+    (shared by the engine predicate, Spark's pushdown pruning filter,
+    and the DuckDB oracles), while Lucene 8's FuzzyQuery defaults to
+    transpositions=true (Damerau/OSA: 'ab'->'ba' is ONE edit). A
+    transposed-pair neighbor at the edit boundary can therefore be
+    excluded here where Lucene would admit it — engine and every
+    oracle stay in lockstep on the plain metric."""
 
     kind: str                 # prefix | wildcard | regexp | fuzzy | range
     pattern: str = ""         # prefix text / wildcard / regex / fuzzy term

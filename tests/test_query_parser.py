@@ -187,3 +187,41 @@ def test_pure_negative_conjunction_gets_matchall():
         assert isinstance(q, BooleanQuery), (text, q)
         assert len(q.must_not) == 2, (text, q)
         assert any(isinstance(m, MatchAllQuery) for m in q.must), (text, q)
+
+
+def test_sloppy_sql_oracle_matches_kernel():
+    """The DuckDB list-algebra sloppy-phrase formula used by the
+    bm25_sloppy_phrase_topk oracle is bit-identical to the shared
+    sloppy_phrase_freq kernel on randomized position lists (the same
+    validation that gated the oracle's introduction)."""
+    import random
+
+    import duckdb
+
+    from lucene_solr_spark.plans.query import sloppy_phrase_freq
+
+    con = duckdb.connect()
+    random.seed(7)
+    for _ in range(150):
+        n = random.randint(2, 30)
+        tk = [random.choice("abx") for _ in range(n)]
+        slop = random.randint(0, 4)
+        pa = [i for i, t in enumerate(tk) if t == "a"]
+        pb = [i for i, t in enumerate(tk) if t == "b"]
+        expect = sloppy_phrase_freq([pa, pb], slop) if pa and pb else 0.0
+        tk_sql = "[" + ",".join(f"'{t}'" for t in tk) + "]"
+        got = con.execute(f"""
+          WITH m AS (SELECT {tk_sql} AS tk),
+          p AS (SELECT
+            [i FOR i IN range(1, len(tk)+1) IF tk[i] = 'a'] AS pa,
+            [i FOR i IN range(1, len(tk)+1) IF tk[i] = 'b'] AS pb FROM m),
+          f AS (SELECT
+            [CAST(1.0 AS DOUBLE) / (list_min(list_filter(pb, j -> j > i)) - i)
+             FOR i IN pa
+             IF len(list_filter(pb, j -> j > i)) > 0
+                AND list_min(list_filter(pb, j -> j > i)) - i - 1 <= {slop}] AS cs
+            FROM p)
+          SELECT CASE WHEN len(cs) = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE list_reduce(cs, (x, y) -> x + y) END FROM f
+        """).fetchone()[0]
+        assert got == expect, (tk, slop, got, expect)

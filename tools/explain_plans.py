@@ -176,6 +176,17 @@ def main() -> None:
         "JVM cosine + TakeOrderedAndProject as the exact baseline.",
     )
 
+    # 4a'. PQ ANN: ADC over the codes column only — raw vectors absent
+    pq_dir = entry._pq_index_for(spark, sf_dir)
+    add(
+        "ANN PQ top-k (ADC over the codes column)",
+        sim.pq_search(spark, pq_dir, sim.fixed_query_vector(64), 10),
+        "Expect: ReadSchema holding ONLY vec_id + codes (the m-byte PQ "
+        "codes; no embedding column anywhere — ~32x fewer bytes than "
+        "the raw scan), the literal-LUT distance inside WholeStage"
+        "Codegen, and TakeOrderedAndProject for the top-k.",
+    )
+
     # 4b. round-2 operators: edismax cross-field combine + block join
     add(
         "edismax multi-field combine",
